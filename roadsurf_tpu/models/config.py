@@ -1,0 +1,177 @@
+"""Model configuration for the Mask R-CNN R50-FPN detector.
+
+Mirrors the knobs pinned by the reference's detectron2 YAML
+(config/detectron2_config_3bands.yaml — anchor sizes :51-55, RPN topk/NMS
+:222-251, ROI heads :177-221, solver :268-305, input :19-38) and can be
+loaded directly from that file so existing configs work verbatim.
+
+Two execution profiles:
+* ``parity``  — reproduces the reference inference geometry (resize shorter
+  side to 800, 1000 post-NMS proposals) for F1-parity runs;
+* ``fast``    — TPU-native throughput profile (native 256px tiles, fewer
+  proposals) used by the benchmark; same weights, same math per proposal.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+import yaml
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    # input
+    num_classes: int = 2            # artificial / natural (det_class 0/1)
+    pixel_mean: tuple = (103.53, 116.28, 123.675)
+    pixel_std: tuple = (1.0, 1.0, 1.0)
+    min_size_test: int = 800
+    max_size_test: int = 1333
+    min_size_train: tuple = (640, 672, 704, 736, 768, 800)
+    max_size_train: int = 1333
+
+    # backbone
+    freeze_at: int = 2
+    fpn_channels: int = 256
+
+    # anchors (one size per FPN level P2..P6, 3 aspect ratios)
+    anchor_sizes: tuple = (32, 64, 128, 256, 512)
+    anchor_aspect_ratios: tuple = (0.5, 1.0, 2.0)
+    anchor_offset: float = 0.0
+
+    # RPN
+    rpn_pre_nms_topk_train: int = 2000
+    rpn_pre_nms_topk_test: int = 1000
+    rpn_post_nms_topk_train: int = 1000
+    rpn_post_nms_topk_test: int = 1000
+    rpn_nms_thresh: float = 0.7
+    rpn_batch_per_image: int = 256
+    rpn_positive_fraction: float = 0.5
+    rpn_iou_thresholds: tuple = (0.3, 0.7)
+    rpn_bbox_weights: tuple = (1.0, 1.0, 1.0, 1.0)
+    rpn_smooth_l1_beta: float = 0.0
+
+    # ROI heads
+    roi_batch_per_image: int = 1024
+    roi_positive_fraction: float = 0.25
+    roi_iou_threshold: float = 0.5
+    box_pooler_resolution: int = 7
+    mask_pooler_resolution: int = 14
+    pooler_sampling_ratio: int = 2   # fixed grid (ROIAlignV2 adaptive~=2 @800px)
+    box_fc_dim: int = 1024
+    box_bbox_weights: tuple = (10.0, 10.0, 5.0, 5.0)
+    mask_conv_dim: int = 256
+    mask_num_conv: int = 4
+    score_thresh_test: float = 0.05
+    nms_thresh_test: float = 0.5
+    detections_per_image: int = 100
+    canonical_box_size: int = 224
+    canonical_level: int = 4
+
+    # solver (reference detectron2_config_3bands.yaml:268-305)
+    base_lr: float = 0.01
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    max_iter: int = 12000
+    gamma: float = 0.8
+    steps: tuple = tuple(range(3000, 12000, 500))
+    warmup_iters: int = 200
+    warmup_factor: float = 0.001
+    ims_per_batch: int = 8
+    checkpoint_period: int = 500
+    eval_period: int = 200
+
+    # execution
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def fpn_strides(self) -> tuple:
+        return (4, 8, 16, 32, 64)   # P2..P6
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.anchor_aspect_ratios)
+
+
+def fast_profile(cfg: ModelConfig | None = None, *,
+                 post_nms_topk: int = 256) -> ModelConfig:
+    """TPU-throughput profile: native tile resolution, trimmed proposal count
+    (a 256px tile holds far fewer than 1000 instances)."""
+    cfg = cfg or ModelConfig()
+    return replace(cfg,
+                   min_size_test=256, max_size_test=256,
+                   rpn_pre_nms_topk_test=512,
+                   rpn_post_nms_topk_test=post_nms_topk)
+
+
+def from_detectron2_yaml(path: str, num_classes: int = 2) -> ModelConfig:
+    """Load a detectron2-format YAML (the reference's
+    config/detectron2_config_3bands.yaml) into a ModelConfig."""
+    with open(path) as f:
+        d = yaml.safe_load(f)
+    m = d.get("MODEL", {})
+    inp = d.get("INPUT", {})
+    sol = d.get("SOLVER", {})
+    tst = d.get("TEST", {})
+    rpn = m.get("RPN", {})
+    roi = m.get("ROI_HEADS", {})
+    box = m.get("ROI_BOX_HEAD", {})
+    msk = m.get("ROI_MASK_HEAD", {})
+    anch = m.get("ANCHOR_GENERATOR", {})
+
+    def flat_sizes(sizes):
+        return tuple(s[0] if isinstance(s, (list, tuple)) else s
+                     for s in sizes)
+
+    # detectron2 convention: ROI_HEADS.NUM_CLASSES counts "thing" classes; the
+    # pipeline distinguishes det_class 0/1 (reference determine_class.py:22-25),
+    # so the caller passes the actual class count.
+    return ModelConfig(
+        num_classes=num_classes,
+        pixel_mean=tuple(m.get("PIXEL_MEAN", (103.53, 116.28, 123.675))),
+        pixel_std=tuple(m.get("PIXEL_STD", (1.0, 1.0, 1.0))),
+        min_size_test=inp.get("MIN_SIZE_TEST", 800),
+        max_size_test=inp.get("MAX_SIZE_TEST", 1333),
+        min_size_train=tuple(inp.get("MIN_SIZE_TRAIN", (800,))),
+        max_size_train=inp.get("MAX_SIZE_TRAIN", 1333),
+        freeze_at=m.get("BACKBONE", {}).get("FREEZE_AT", 2),
+        fpn_channels=m.get("FPN", {}).get("OUT_CHANNELS", 256),
+        anchor_sizes=flat_sizes(anch.get("SIZES",
+                                         ((32,), (64,), (128,), (256,), (512,)))),
+        anchor_aspect_ratios=tuple(
+            anch.get("ASPECT_RATIOS", [[0.5, 1.0, 2.0]])[0]),
+        anchor_offset=anch.get("OFFSET", 0.0),
+        rpn_pre_nms_topk_train=rpn.get("PRE_NMS_TOPK_TRAIN", 2000),
+        rpn_pre_nms_topk_test=rpn.get("PRE_NMS_TOPK_TEST", 1000),
+        rpn_post_nms_topk_train=rpn.get("POST_NMS_TOPK_TRAIN", 1000),
+        rpn_post_nms_topk_test=rpn.get("POST_NMS_TOPK_TEST", 1000),
+        rpn_nms_thresh=rpn.get("NMS_THRESH", 0.7),
+        rpn_batch_per_image=rpn.get("BATCH_SIZE_PER_IMAGE", 256),
+        rpn_positive_fraction=rpn.get("POSITIVE_FRACTION", 0.5),
+        rpn_iou_thresholds=tuple(rpn.get("IOU_THRESHOLDS", (0.3, 0.7))),
+        rpn_smooth_l1_beta=rpn.get("SMOOTH_L1_BETA", 0.0),
+        roi_batch_per_image=roi.get("BATCH_SIZE_PER_IMAGE", 1024),
+        roi_positive_fraction=roi.get("POSITIVE_FRACTION", 0.25),
+        roi_iou_threshold=tuple(roi.get("IOU_THRESHOLDS", (0.5,)))[0],
+        box_pooler_resolution=box.get("POOLER_RESOLUTION", 7),
+        mask_pooler_resolution=msk.get("POOLER_RESOLUTION", 14),
+        box_fc_dim=box.get("FC_DIM", 1024),
+        box_bbox_weights=tuple(box.get("BBOX_REG_WEIGHTS",
+                                       (10.0, 10.0, 5.0, 5.0))),
+        mask_conv_dim=msk.get("CONV_DIM", 256),
+        mask_num_conv=msk.get("NUM_CONV", 4),
+        score_thresh_test=roi.get("SCORE_THRESH_TEST", 0.05),
+        nms_thresh_test=roi.get("NMS_THRESH_TEST", 0.5),
+        detections_per_image=tst.get("DETECTIONS_PER_IMAGE", 100),
+        base_lr=sol.get("BASE_LR", 0.01),
+        momentum=sol.get("MOMENTUM", 0.9),
+        weight_decay=sol.get("WEIGHT_DECAY", 1e-4),
+        max_iter=sol.get("MAX_ITER", 12000),
+        gamma=sol.get("GAMMA", 0.8),
+        steps=tuple(sol.get("STEPS", ())),
+        warmup_iters=sol.get("WARMUP_ITERS", 200),
+        warmup_factor=sol.get("WARMUP_FACTOR", 0.001),
+        ims_per_batch=sol.get("IMS_PER_BATCH", 8),
+        checkpoint_period=sol.get("CHECKPOINT_PERIOD", 500),
+        eval_period=tst.get("EVAL_PERIOD", 200),
+    )

@@ -1,0 +1,107 @@
+"""GeneralizedRCNN (Mask R-CNN R50-FPN) — full inference assembly, TPU-native.
+
+Replaces detectron2's GeneralizedRCNN meta-architecture (pinned at reference
+detectron2_config_3bands.yaml:73) with a functional JAX model:
+
+  uint8 tiles -> normalize (pixel means, detectron2_config_3bands.yaml:81-88)
+  [-> optional resize to MIN_SIZE_TEST for parity] -> ResNet50+FPN
+  -> RPN proposals -> box head -> fixed-shape class NMS (<=100/img)
+  -> mask head on the detections -> 28x28 per-instance mask logits.
+
+Everything is jit-compatible with static shapes; batch is the leading axis
+and shards over the device mesh for data-parallel inference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .anchors import all_level_anchors
+from .config import ModelConfig
+from .fpn import fpn_forward, init_fpn
+from .resnet import init_resnet, resnet_forward
+from .roi_heads import (box_head_forward, inference_detections,
+                        init_box_head, init_mask_head, mask_head_forward)
+from .rpn import init_rpn, rpn_head_forward, select_proposals
+
+
+def init_params(key, cfg: ModelConfig) -> dict:
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    return {
+        "backbone": init_resnet(k1),
+        "fpn": init_fpn(k2, out_channels=cfg.fpn_channels),
+        "rpn": init_rpn(k3, cfg.fpn_channels, cfg.num_anchors),
+        "box_head": init_box_head(k4, cfg, cfg.fpn_channels),
+        "mask_head": init_mask_head(k5, cfg, cfg.fpn_channels),
+    }
+
+
+def preprocess(images: jnp.ndarray, cfg: ModelConfig,
+               input_size: int) -> jnp.ndarray:
+    """uint8/float (B, H, W, 3) -> normalized float (B, S, S, 3).
+
+    Matches the reference chain: tiles are decoded at 256px and resized so
+    the shorter side is MIN_SIZE_TEST (detectron2_config_3bands.yaml:30);
+    the fast profile keeps the native size (input_size == H).
+    """
+    x = images.astype(jnp.float32)
+    if input_size != images.shape[1]:
+        x = jax.image.resize(
+            x, (x.shape[0], input_size, input_size, x.shape[3]), "bilinear")
+    mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
+    std = jnp.asarray(cfg.pixel_std, jnp.float32)
+    return (x - mean) / std
+
+
+def forward_features(params, x, cfg, dtype):
+    feats = resnet_forward(params["backbone"], x, dtype)
+    return fpn_forward(params["fpn"], feats, dtype)
+
+
+def forward_inference(params: dict, images: jnp.ndarray, cfg: ModelConfig,
+                      with_masks: bool = True) -> dict:
+    """images: (B, H, W, 3) uint8 tiles. Returns detection dict with boxes in
+    *input image* coordinates (B, D, 4), plus scores/classes/valid and
+    per-instance mask logits (B, D, 28, 28)."""
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    native = images.shape[1]
+    S = cfg.min_size_test if cfg.min_size_test else native
+    x = preprocess(images, cfg, S).astype(dtype)
+
+    fpn_feats = forward_features(params, x, cfg, dtype)
+    logits, deltas = rpn_head_forward(params["rpn"], fpn_feats,
+                                      cfg.num_anchors, dtype)
+    anchors = all_level_anchors(S, cfg.fpn_strides, cfg.anchor_sizes,
+                                cfg.anchor_aspect_ratios, cfg.anchor_offset)
+    proposals, prop_scores = select_proposals(
+        logits, deltas, anchors, S, cfg.rpn_pre_nms_topk_test,
+        cfg.rpn_post_nms_topk_test, cfg.rpn_nms_thresh)
+
+    box_feats = fpn_feats[:4]  # box/mask pool from P2..P5
+    class_logits, box_deltas = box_head_forward(
+        params["box_head"], box_feats, proposals, cfg, dtype)
+    dets = inference_detections(class_logits, box_deltas, proposals,
+                                prop_scores, cfg, S)
+
+    if with_masks:
+        mask_logits = mask_head_forward(params["mask_head"], box_feats,
+                                        dets["boxes"], cfg, dtype)
+        # select each detection's own class channel
+        cls = dets["classes"]
+        masks = jnp.take_along_axis(
+            mask_logits, cls[:, :, None, None, None], axis=-1)[..., 0]
+        dets["mask_logits"] = masks.astype(jnp.float32)
+
+    # report boxes in native tile coordinates
+    scale = native / S
+    dets["boxes"] = dets["boxes"] * scale
+    return dets
+
+
+def make_inference_fn(cfg: ModelConfig, with_masks: bool = True):
+    """Returns a jittable fn(params, images)->detections."""
+    return partial(forward_inference, cfg=cfg, with_masks=with_masks)

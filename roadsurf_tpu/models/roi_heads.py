@@ -1,0 +1,164 @@
+"""ROI heads: FastRCNNConvFCHead (box) + MaskRCNNConvUpsampleHead (mask).
+
+Pinned behavior (reference detectron2_config_3bands.yaml:159-221): box head
+ROIAlignV2 7x7 on P2-P5 -> 2x FC-1024 -> per-class scores and deltas
+(weights 10,10,5,5); mask head ROIAlignV2 14x14 -> 4x conv-256 -> 2x deconv
+-> per-class 28x28 masks. Inference keeps score>=0.05, class-wise NMS 0.5,
+<=100 detections/image (detectron2_config_3bands.yaml:194,190,321).
+
+All inference stages are fixed-shape (padded, masked) for XLA.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nms import NEG_INF, batched_nms_fixed
+from ..ops.roi_align import roi_align_multilevel
+from .anchors import apply_deltas, clip_boxes
+from .resnet import conv
+
+
+def _linear(x, p, dtype=jnp.bfloat16):
+    y = jnp.dot(x.astype(dtype), p["w"].astype(dtype),
+                preferred_element_type=jnp.float32)
+    return y + p["b"].astype(jnp.float32)
+
+
+def box_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
+                     cfg, dtype=jnp.bfloat16):
+    """boxes (B, R, 4) -> (class_logits (B, R, C+1), deltas (B, R, C, 4))."""
+    B, R = boxes.shape[:2]
+    pooled = roi_align_multilevel(feats, boxes, cfg.box_pooler_resolution,
+                                  sampling=cfg.pooler_sampling_ratio,
+                                  canonical_size=cfg.canonical_box_size,
+                                  canonical_level=cfg.canonical_level)
+    x = pooled.reshape(B * R, -1)
+    x = jnp.maximum(_linear(x, params["fc1"], dtype), 0.0)
+    x = jnp.maximum(_linear(x, params["fc2"], dtype), 0.0)
+    logits = _linear(x, params["cls"], dtype).reshape(B, R, -1)
+    deltas = _linear(x, params["bbox"], dtype).reshape(
+        B, R, cfg.num_classes, 4)
+    return logits, deltas
+
+
+def mask_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
+                      cfg, dtype=jnp.bfloat16):
+    """boxes (B, D, 4) -> per-class mask logits (B, D, 2*res, 2*res, C)."""
+    B, D = boxes.shape[:2]
+    pooled = roi_align_multilevel(feats, boxes, cfg.mask_pooler_resolution,
+                                  sampling=cfg.pooler_sampling_ratio,
+                                  canonical_size=cfg.canonical_box_size,
+                                  canonical_level=cfg.canonical_level)
+    x = pooled.reshape(B * D, cfg.mask_pooler_resolution,
+                       cfg.mask_pooler_resolution, -1).astype(dtype)
+    for i in range(cfg.mask_num_conv):
+        p = params[f"conv{i + 1}"]
+        x = conv(x, p["w"], 1, dtype) + p["b"].astype(jnp.float32)
+        x = jnp.maximum(x, 0.0).astype(dtype)
+    # 2x transposed conv (stride-2 deconv, kernel 2): exact upsample via
+    # conv_transpose
+    p = params["deconv"]
+    x = jax.lax.conv_transpose(
+        x, p["w"].astype(dtype), strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) \
+        + p["b"].astype(jnp.float32)
+    x = jnp.maximum(x, 0.0).astype(dtype)
+    p = params["predictor"]
+    x = conv(x, p["w"], 1, dtype) + p["b"].astype(jnp.float32)
+    res = 2 * cfg.mask_pooler_resolution
+    return x.reshape(B, D, res, res, cfg.num_classes)
+
+
+def inference_detections(class_logits, deltas, proposals, prop_scores, cfg,
+                         image_size: int):
+    """Per-image fixed-shape detection post-processing.
+
+    class_logits (B, R, C+1), deltas (B, R, C, 4), proposals (B, R, 4).
+    Returns dict with boxes (B, D, 4), scores (B, D), classes (B, D),
+    valid (B, D) where D = cfg.detections_per_image.
+    """
+    B, R, Cp1 = class_logits.shape
+    C = Cp1 - 1
+    probs = jax.nn.softmax(class_logits.astype(jnp.float32), axis=-1)
+    scores = probs[..., :C]                     # drop background column
+    # decode per-class boxes
+    boxes = apply_deltas(deltas.astype(jnp.float32),
+                         proposals[:, :, None, :], cfg.box_bbox_weights)
+    boxes = clip_boxes(boxes, image_size, image_size)     # (B, R, C, 4)
+
+    valid_prop = prop_scores > NEG_INF / 2
+
+    flat_scores = jnp.where(
+        valid_prop[:, :, None] & (scores >= cfg.score_thresh_test),
+        scores, NEG_INF).reshape(B, R * C)
+    flat_boxes = boxes.reshape(B, R * C, 4)
+    flat_classes = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[None, None, :], (B, R, C)
+    ).reshape(B, R * C)
+
+    D = cfg.detections_per_image
+
+    def one(bx, sc, cl):
+        top_s, keep = batched_nms_fixed(bx, sc, cl, cfg.nms_thresh_test, D)
+        return bx[keep], top_s, cl[keep]
+
+    dboxes, dscores, dclasses = jax.vmap(one)(flat_boxes, flat_scores,
+                                              flat_classes)
+    return {
+        "boxes": dboxes,
+        "scores": jnp.where(dscores > NEG_INF / 2, dscores, 0.0),
+        "classes": dclasses,
+        "valid": dscores > NEG_INF / 2,
+    }
+
+
+# ---------------------------------------------------------------------------
+
+def init_box_head(key, cfg, in_channels: int = 256) -> dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    flat = in_channels * cfg.box_pooler_resolution ** 2
+
+    def xavier(k, shape):
+        import numpy as np
+        lim = np.sqrt(6.0 / (shape[0] + shape[1]))
+        return jax.random.uniform(k, shape, jnp.float32, -lim, lim)
+
+    def normal(k, shape, std):
+        return jax.random.normal(k, shape, jnp.float32) * std
+
+    return {
+        "fc1": {"w": xavier(k1, (flat, cfg.box_fc_dim)),
+                "b": jnp.zeros((cfg.box_fc_dim,), jnp.float32)},
+        "fc2": {"w": xavier(k2, (cfg.box_fc_dim, cfg.box_fc_dim)),
+                "b": jnp.zeros((cfg.box_fc_dim,), jnp.float32)},
+        "cls": {"w": normal(k3, (cfg.box_fc_dim, cfg.num_classes + 1), 0.01),
+                "b": jnp.zeros((cfg.num_classes + 1,), jnp.float32)},
+        "bbox": {"w": normal(k4, (cfg.box_fc_dim, cfg.num_classes * 4), 0.001),
+                 "b": jnp.zeros((cfg.num_classes * 4,), jnp.float32)},
+    }
+
+
+def init_mask_head(key, cfg, in_channels: int = 256) -> dict:
+    keys = jax.random.split(key, cfg.mask_num_conv + 2)
+
+    def msra(k, shape):
+        import numpy as np
+        fan_out = shape[0] * shape[1] * shape[3]
+        return jax.random.normal(k, shape, jnp.float32) * np.sqrt(2.0 / fan_out)
+
+    params = {}
+    cin = in_channels
+    for i in range(cfg.mask_num_conv):
+        params[f"conv{i + 1}"] = {
+            "w": msra(keys[i], (3, 3, cin, cfg.mask_conv_dim)),
+            "b": jnp.zeros((cfg.mask_conv_dim,), jnp.float32)}
+        cin = cfg.mask_conv_dim
+    params["deconv"] = {
+        "w": msra(keys[-2], (2, 2, cin, cfg.mask_conv_dim)),
+        "b": jnp.zeros((cfg.mask_conv_dim,), jnp.float32)}
+    params["predictor"] = {
+        "w": msra(keys[-1], (1, 1, cfg.mask_conv_dim, cfg.num_classes)),
+        "b": jnp.zeros((cfg.num_classes,), jnp.float32)}
+    return params

@@ -1,0 +1,93 @@
+"""Region Proposal Network (StandardRPNHead + proposal selection), TPU-native.
+
+Pinned behavior (reference detectron2_config_3bands.yaml:222-251): shared
+3x3 conv head over P2..P6, 3 anchors per cell, IoU thresholds 0.3/0.7,
+NMS 0.7, pre/post top-k 2000-1000/1000, delta weights (1,1,1,1).
+
+Everything runs at fixed shapes: per-level top-k pads with -inf scores, NMS
+is the fixed-shape XLA loop from ops.nms, and the final proposal tensor is
+always (B, post_nms_topk, 4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.nms import NEG_INF, batched_nms_fixed
+from .anchors import apply_deltas, clip_boxes
+from .resnet import conv
+
+
+def rpn_head_forward(params: dict, feats: list, num_anchors: int = 3,
+                     dtype=jnp.bfloat16):
+    """Returns per-level (objectness (B,H,W,A), deltas (B,H,W,A,4))."""
+    logits, deltas = [], []
+    for f in feats:
+        t = conv(f, params["conv"]["w"], 1, dtype)
+        t = jnp.maximum(t + params["conv"]["b"].astype(jnp.float32), 0.0)
+        t = t.astype(dtype)
+        o = conv(t, params["objectness"]["w"], 1, dtype) \
+            + params["objectness"]["b"].astype(jnp.float32)
+        d = conv(t, params["deltas"]["w"], 1, dtype) \
+            + params["deltas"]["b"].astype(jnp.float32)
+        b, h, w, _ = o.shape
+        logits.append(o.reshape(b, h * w * num_anchors))
+        deltas.append(d.reshape(b, h * w * num_anchors, 4))
+    return logits, deltas
+
+
+def select_proposals(logits: list, deltas: list, anchors: list,
+                     image_size: int, pre_nms_topk: int, post_nms_topk: int,
+                     nms_thresh: float):
+    """Decode + per-level top-k + level-aware NMS + global top-k.
+
+    anchors: per-level (N_l, 4) numpy arrays. Returns (boxes (B, K, 4),
+    scores (B, K)) with K = post_nms_topk; padding scores are NEG_INF.
+    """
+    B = logits[0].shape[0]
+    all_boxes, all_scores, all_lvl = [], [], []
+    for l, (lg, dl, an) in enumerate(zip(logits, deltas, anchors)):
+        n = lg.shape[1]
+        k = min(pre_nms_topk, n)
+        sc, idx = jax.lax.top_k(lg.astype(jnp.float32), k)     # (B, k)
+        an_j = jnp.asarray(an, jnp.float32)
+        sel_anchors = an_j[idx]                                 # (B, k, 4)
+        sel_deltas = jnp.take_along_axis(dl.astype(jnp.float32), idx[..., None],
+                                         axis=1)
+        boxes = apply_deltas(sel_deltas, sel_anchors)
+        boxes = clip_boxes(boxes, image_size, image_size)
+        # drop degenerate boxes (MIN_SIZE=0 => only empty ones)
+        wh_ok = ((boxes[..., 2] > boxes[..., 0])
+                 & (boxes[..., 3] > boxes[..., 1]))
+        sc = jnp.where(wh_ok, sc, NEG_INF)
+        all_boxes.append(boxes)
+        all_scores.append(sc)
+        all_lvl.append(jnp.full((B, k), l, jnp.int32))
+    boxes = jnp.concatenate(all_boxes, axis=1)
+    scores = jnp.concatenate(all_scores, axis=1)
+    lvls = jnp.concatenate(all_lvl, axis=1)
+
+    def one(b, s, l):
+        top_s, keep = batched_nms_fixed(b, s, l, nms_thresh, post_nms_topk)
+        return b[keep], top_s
+
+    pboxes, pscores = jax.vmap(one)(boxes, scores, lvls)
+    return pboxes, pscores
+
+
+def init_rpn(key, channels: int = 256, num_anchors: int = 3) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    def normal(k, shape, std=0.01):
+        return jax.random.normal(k, shape, jnp.float32) * std
+
+    return {
+        "conv": {"w": normal(k1, (3, 3, channels, channels)),
+                 "b": jnp.zeros((channels,), jnp.float32)},
+        "objectness": {"w": normal(k2, (1, 1, channels, num_anchors)),
+                       "b": jnp.zeros((num_anchors,), jnp.float32)},
+        "deltas": {"w": normal(k3, (1, 1, channels, num_anchors * 4)),
+                   "b": jnp.zeros((num_anchors * 4,), jnp.float32)},
+    }

@@ -1,0 +1,4 @@
+from .mesh import (batch_sharding, data_parallel_mesh, replicate,
+                   shard_batch)
+
+__all__ = ["data_parallel_mesh", "batch_sharding", "shard_batch", "replicate"]

@@ -3,7 +3,11 @@ multi-chip sharding tests run without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The container's sitecustomize registers the 'axon' TPU backend whenever
+# PALLAS_AXON_POOL_IPS is set and pins JAX_PLATFORMS=axon; tests must run on
+# a virtual 8-device CPU mesh, so drop both before jax is imported.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,136 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from roadsurf_tpu.models import ModelConfig, fast_profile, init_params
+from roadsurf_tpu.models.anchors import (all_level_anchors, apply_deltas,
+                                         box_iou, cell_anchors, get_deltas)
+from roadsurf_tpu.ops import nms_fixed, roi_align_multilevel
+
+
+def test_cell_anchors_detectron2_param():
+    a = cell_anchors(32, (0.5, 1.0, 2.0))
+    # aspect 1.0 -> square of side 32
+    np.testing.assert_allclose(a[1], [-16, -16, 16, 16])
+    # aspect 0.5 -> wide: w = sqrt(1024/0.5) = 45.25, h = 22.6
+    w = a[0][2] - a[0][0]
+    h = a[0][3] - a[0][1]
+    assert w == pytest.approx(np.sqrt(1024 / 0.5), rel=1e-6)
+    assert h == pytest.approx(0.5 * w, rel=1e-6)
+
+
+def test_anchor_counts_256():
+    anchors = all_level_anchors(256, (4, 8, 16, 32, 64),
+                                (32, 64, 128, 256, 512), (0.5, 1.0, 2.0))
+    counts = [len(a) for a in anchors]
+    assert counts == [64 * 64 * 3, 32 * 32 * 3, 16 * 16 * 3, 8 * 8 * 3,
+                      4 * 4 * 3]
+
+
+def test_delta_roundtrip():
+    src = jnp.asarray([[10., 10., 50., 30.], [0., 0., 100., 200.]])
+    tgt = jnp.asarray([[12., 8., 60., 35.], [5., 5., 95., 190.]])
+    for w in [(1., 1., 1., 1.), (10., 10., 5., 5.)]:
+        d = get_deltas(src, tgt, w)
+        back = apply_deltas(d, src, w)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(tgt),
+                                   atol=1e-3)
+
+
+def test_box_iou():
+    a = jnp.asarray([[0., 0., 2., 2.]])
+    b = jnp.asarray([[1., 1., 3., 3.], [4., 4., 5., 5.]])
+    iou = np.asarray(box_iou(a, b))
+    assert iou[0, 0] == pytest.approx(1.0 / 7.0)
+    assert iou[0, 1] == 0.0
+
+
+def _np_roi_align_single(feat, box, out, sampling, stride):
+    """Independent numpy ROIAlignV2 reference (aligned=True)."""
+    H, W, C = feat.shape
+    x0, y0, x1, y1 = box
+    bw = (x1 - x0) / out
+    bh = (y1 - y0) / out
+    res = np.zeros((out, out, C))
+    for p in range(out):
+        for q in range(out):
+            acc = np.zeros(C)
+            for sy in range(sampling):
+                for sx in range(sampling):
+                    y = (y0 + (p + (sy + 0.5) / sampling) * bh) / stride - 0.5
+                    x = (x0 + (q + (sx + 0.5) / sampling) * bw) / stride - 0.5
+                    if y < -1 or y > H or x < -1 or x > W:
+                        continue
+                    y = min(max(y, 0), H - 1)
+                    x = min(max(x, 0), W - 1)
+                    y0i, x0i = int(np.floor(y)), int(np.floor(x))
+                    y1i, x1i = min(y0i + 1, H - 1), min(x0i + 1, W - 1)
+                    wy1, wx1 = y - y0i, x - x0i
+                    acc += ((1 - wy1) * (1 - wx1) * feat[y0i, x0i]
+                            + (1 - wy1) * wx1 * feat[y0i, x1i]
+                            + wy1 * (1 - wx1) * feat[y1i, x0i]
+                            + wy1 * wx1 * feat[y1i, x1i])
+            res[p, q] = acc / (sampling * sampling)
+    return res
+
+
+def test_roi_align_matches_reference():
+    rng = np.random.default_rng(0)
+    feats_np = [rng.normal(size=(1, 64 // 2**i, 64 // 2**i, 4))
+                .astype(np.float32) for i in range(4)]
+    feats = [jnp.asarray(f) for f in feats_np]
+    # small box -> P2 (stride 4); box spanning image -> higher level
+    boxes = np.array([[[8., 8., 40., 56.], [4., 4., 250., 250.]]],
+                     np.float32)
+    out = np.asarray(roi_align_multilevel(feats, jnp.asarray(boxes), 7,
+                                          sampling=2))
+    # level of box 1: sqrt(32*48)=39 -> floor(4+log2(39/224)) = 1 -> clamp P2
+    ref0 = _np_roi_align_single(feats_np[0][0], boxes[0, 0], 7, 2, 4)
+    np.testing.assert_allclose(out[0, 0], ref0, atol=2e-3)
+    # level of box 2: sqrt(246*246)=246 -> floor(4+log2(246/224)) = 4 -> P4
+    ref1 = _np_roi_align_single(feats_np[2][0], boxes[0, 1], 7, 2, 16)
+    np.testing.assert_allclose(out[0, 1], ref1, atol=2e-3)
+
+
+def test_nms_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    b = rng.uniform(0, 100, (60, 4)).astype(np.float32)
+    b = np.stack([np.minimum(b[:, 0], b[:, 2]), np.minimum(b[:, 1], b[:, 3]),
+                  np.maximum(b[:, 0], b[:, 2]) + 3,
+                  np.maximum(b[:, 1], b[:, 3]) + 3], 1)
+    s = rng.uniform(0, 1, 60).astype(np.float32)
+    ks, ki = nms_fixed(jnp.asarray(b), jnp.asarray(s), 0.5, 30)
+    mine = [int(i) for i, sc in zip(ki, ks) if sc > -1e9]
+
+    order = np.argsort(-s)
+    keep = []
+    for i in order:
+        ok = True
+        for j in keep:
+            xx0, yy0 = max(b[i, 0], b[j, 0]), max(b[i, 1], b[j, 1])
+            xx1, yy1 = min(b[i, 2], b[j, 2]), min(b[i, 3], b[j, 3])
+            inter = max(xx1 - xx0, 0) * max(yy1 - yy0, 0)
+            a1 = (b[i, 2] - b[i, 0]) * (b[i, 3] - b[i, 1])
+            a2 = (b[j, 2] - b[j, 0]) * (b[j, 3] - b[j, 1])
+            if inter / (a1 + a2 - inter) > 0.5:
+                ok = False
+                break
+        if ok:
+            keep.append(i)
+    assert mine == keep[:len(mine)]
+
+
+@pytest.mark.slow
+def test_full_inference_shapes():
+    cfg = fast_profile(post_nms_topk=64)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    fn = jax.jit(lambda p, x: __import__(
+        "roadsurf_tpu.models.mask_rcnn", fromlist=["forward_inference"]
+    ).forward_inference(p, x, cfg))
+    imgs = jnp.asarray(np.random.randint(0, 255, (2, 256, 256, 3), np.uint8))
+    out = fn(params, imgs)
+    assert out["boxes"].shape == (2, 100, 4)
+    assert out["mask_logits"].shape == (2, 100, 28, 28)
+    assert out["scores"].shape == (2, 100)
