@@ -188,6 +188,10 @@ class CRS:
     def from_user_input(cls, value) -> "CRS":
         return cls(value)
 
+    def to_epsg(self) -> int:
+        """pyproj-compatible accessor."""
+        return self.epsg
+
     def __eq__(self, other):
         try:
             return self.epsg == CRS(other).epsg

@@ -89,3 +89,83 @@ def read_xlsx(path: str, sheet: int = 0, header: int = 0) -> pd.DataFrame:
 
 def read_excel(path: str, *args, **kwargs) -> pd.DataFrame:
     return read_xlsx(path)
+
+
+# ---------------------------------------------------------------------------
+# writer (fixtures / exports; single sheet, inline strings)
+
+_XLSX_STATIC = {
+    "[Content_Types].xml": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'worksheet+xml"/></Types>'),
+    "_rels/.rels": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships"><Relationship Id="rId1" Type="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships/officeDocument"'
+        ' Target="xl/workbook.xml"/></Relationships>'),
+    "xl/workbook.xml": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/'
+        '2006/main" xmlns:r="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships"><sheets>'
+        '<sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'),
+    "xl/_rels/workbook.xml.rels": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships"><Relationship Id="rId1" Type="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'),
+}
+
+
+def _cell_ref(r: int, c: int) -> str:
+    letters = ""
+    c += 1
+    while c:
+        c, rem = divmod(c - 1, 26)
+        letters = chr(65 + rem) + letters
+    return f"{letters}{r + 1}"
+
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def write_xlsx(df: pd.DataFrame, path: str) -> None:
+    """Write a single-sheet xlsx with inline strings (round-trips through
+    :func:`read_xlsx`)."""
+    cells = []
+    grid = [list(df.columns)] + df.values.tolist()
+    for r, row in enumerate(grid):
+        parts = []
+        for c, val in enumerate(row):
+            ref = _cell_ref(r, c)
+            if val is None or (isinstance(val, float) and np.isnan(val)):
+                continue
+            if isinstance(val, bool):
+                parts.append(f'<c r="{ref}" t="b"><v>{int(val)}</v></c>')
+            elif isinstance(val, (int, float, np.integer, np.floating)):
+                parts.append(f'<c r="{ref}"><v>{val}</v></c>')
+            else:
+                parts.append(f'<c r="{ref}" t="inlineStr"><is><t>'
+                             f'{_xml_escape(str(val))}</t></is></c>')
+        cells.append(f'<row r="{r + 1}">{"".join(parts)}</row>')
+    sheet = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             '<worksheet xmlns="http://schemas.openxmlformats.org/'
+             'spreadsheetml/2006/main"><sheetData>'
+             + "".join(cells) + "</sheetData></worksheet>")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, content in _XLSX_STATIC.items():
+            z.writestr(name, content)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)

@@ -66,3 +66,6 @@ def get_logger(name: str = "roadsurf") -> _Logger:
 def format_logger(logger=None):
     """Reference-compatible alias (fct_misc.format_logger)."""
     return get_logger()
+
+
+logger = get_logger()

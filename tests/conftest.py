@@ -1,18 +1,23 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh so
-multi-chip sharding tests run without TPU hardware."""
+multi-chip sharding tests run without TPU hardware.
+
+The container's sitecustomize (axon relay) imports jax and pins the 'axon'
+TPU backend at interpreter start — BEFORE this file runs — so mutating
+os.environ here is too late. jax.config.update is authoritative at backend
+init time (backends initialize lazily at first device use), so we set the
+platform through the config API instead.
+"""
 
 import os
+import sys
 
-# The container's sitecustomize registers the 'axon' TPU backend whenever
-# PALLAS_AXON_POOL_IPS is set and pins JAX_PLATFORMS=axon; tests must run on
-# a virtual 8-device CPU mesh, so drop both before jax is imported.
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
