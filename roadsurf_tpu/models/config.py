@@ -74,7 +74,10 @@ class ModelConfig:
     weight_decay: float = 1e-4
     max_iter: int = 12000
     gamma: float = 0.8
-    steps: tuple = tuple(range(3000, 12000, 500))
+    # the 16 LR-decay milestones pinned by the reference
+    # (detectron2_config_3bands.yaml:283-299)
+    steps: tuple = (3000, 4000, 5000, 5500, 6000, 6500, 7000, 7500, 8000,
+                    8500, 9000, 9500, 10000, 10500, 11000, 11500)
     warmup_iters: int = 200
     warmup_factor: float = 0.001
     ims_per_batch: int = 8

@@ -1,0 +1,207 @@
+"""make_detections: batched Mask R-CNN tile inference → georeferenced
+detection polygons.
+
+Native replacement for the external object-detector's make_detections.py
+stage (pinned by reference config_obj_detec.yaml:74-90): for each dataset's
+COCO tile list, run the jitted detector over fixed-size tile batches on the
+TPU mesh, stream detections back, vectorize instance masks into polygons in
+the tile's EPSG:3857 frame, RDP-simplify (ε=0.75), and write
+``{ds}_detections_at_0dot05_threshold.gpkg`` with ``score`` + ``det_class``
+(schema recovered at reference determine_class.py:112-116,22-25).
+
+The device loop is throughput-critical (BASELINE.md north star): one jit
+compile, fixed (B, 256, 256, 3) batches, padding the tail batch; the
+mask→vector stage is a streaming host consumer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..geom.table import GeoDataFrame
+from ..geom.vectorize import mask_to_polygons
+from ..io import write_file
+from ..io.geotiff import read_geotiff
+from ..models import from_detectron2_yaml, init_params, make_inference_fn
+from ..models.config import ModelConfig, fast_profile
+from ..utils.checkpoint import load_params
+from ..utils.d2_convert import merge_params
+from ..utils.logging import logger
+from ..utils.misc import Manifest, ensure_dir_exists
+
+
+def paste_masks(mask_probs: np.ndarray, boxes: np.ndarray, size: int,
+                thresh: float = 0.5) -> np.ndarray:
+    """Paste per-detection mask probabilities into full-tile binary masks.
+
+    mask_probs (D, M, M) in [0,1], boxes (D, 4) XYXY in tile pixels.
+    detectron2 paste_masks_in_image semantics: bilinear grid-sample of the
+    M×M mask over the box extent, align_corners=False, threshold 0.5.
+    """
+    D, M, _ = mask_probs.shape
+    out = np.zeros((D, size, size), np.uint8)
+    for d in range(D):
+        x0, y0, x1, y1 = boxes[d]
+        ix0, iy0 = max(int(np.floor(x0)), 0), max(int(np.floor(y0)), 0)
+        ix1, iy1 = min(int(np.ceil(x1)), size), min(int(np.ceil(y1)), size)
+        if ix1 <= ix0 or iy1 <= iy0 or x1 <= x0 or y1 <= y0:
+            continue
+        xs = (np.arange(ix0, ix1) + 0.5 - x0) / (x1 - x0) * M - 0.5
+        ys = (np.arange(iy0, iy1) + 0.5 - y0) / (y1 - y0) * M - 0.5
+        xi = np.clip(xs, 0, M - 1)
+        yi = np.clip(ys, 0, M - 1)
+        xf = np.floor(xi).astype(int)
+        yf = np.floor(yi).astype(int)
+        xc = np.minimum(xf + 1, M - 1)
+        yc = np.minimum(yf + 1, M - 1)
+        wx = xi - xf
+        wy = yi - yf
+        m = mask_probs[d]
+        top = m[yf][:, xf] * (1 - wx) + m[yf][:, xc] * wx
+        bot = m[yc][:, xf] * (1 - wx) + m[yc][:, xc] * wx
+        patch = top * (1 - wy)[:, None] + bot * wy[:, None]
+        out[d, iy0:iy1, ix0:ix1] = (patch >= thresh).astype(np.uint8)
+    return out
+
+
+def _sigmoid(x):
+    return np.where(x >= 0, 1.0 / (1.0 + np.exp(-np.abs(x))),
+                    np.exp(-np.abs(x)) / (1.0 + np.exp(-np.abs(x))))
+
+
+def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
+                 tile_bounds: list, batch_size: int = 16,
+                 score_thresh: float = 0.05, rdp_eps: float = 0.75,
+                 tile_size: int = 256, progress_every: int = 50):
+    """Run inference over tile images; yields per-detection records
+    (geometry in EPSG:3857 of the tile bounds, score, det_class).
+
+    tile_bounds[i] = (west, south, east, north) in 3857 for image i.
+    """
+    import jax
+
+    fn = jax.jit(make_inference_fn(cfg, with_masks=True))
+    records = []
+    n = len(image_paths)
+    for start in range(0, n, batch_size):
+        chunk = image_paths[start:start + batch_size]
+        imgs = np.stack([read_geotiff(p).data[:, :, :3] for p in chunk])
+        pad = batch_size - len(chunk)
+        if pad:
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+        dets = jax.device_get(fn(params, imgs))
+
+        for bi in range(len(chunk)):
+            idx = start + bi
+            west, south, east, north = tile_bounds[idx]
+            sx = (east - west) / tile_size
+            sy = (north - south) / tile_size
+            valid = dets["valid"][bi] & (dets["scores"][bi] >= score_thresh)
+            if not valid.any():
+                continue
+            boxes = dets["boxes"][bi][valid]
+            scores = dets["scores"][bi][valid]
+            classes = dets["classes"][bi][valid]
+            probs = _sigmoid(dets["mask_logits"][bi][valid])
+            bin_masks = paste_masks(probs, boxes, tile_size)
+
+            def to_world(ring, _sx=sx, _sy=sy, _w=west, _n=north):
+                out = np.empty_like(ring)
+                out[:, 0] = _w + ring[:, 0] * _sx
+                out[:, 1] = _n - ring[:, 1] * _sy
+                return out
+
+            for d in range(len(boxes)):
+                polys = mask_to_polygons(bin_masks[d], transform=to_world,
+                                         simplify_eps=rdp_eps)
+                for poly in polys:
+                    records.append({"geometry": poly,
+                                    "score": float(scores[d]),
+                                    "det_class": int(classes[d])})
+        if progress_every and (start // batch_size) % progress_every == 0:
+            logger.info(f"inference: {min(start + batch_size, n)}/{n} tiles, "
+                        f"{len(records)} detections")
+    return records
+
+
+def detect_dataset(params, cfg: ModelConfig, coco: dict, images_dir: str,
+                   img_metadata: dict, **kw) -> GeoDataFrame:
+    """Detect over one dataset's COCO images; returns detections in 3857."""
+    paths, bounds = [], []
+    for im in coco["images"]:
+        meta = img_metadata[im["file_name"]]
+        paths.append(os.path.join(images_dir, im["file_name"]))
+        bounds.append(meta["bounds_3857"])
+    records = detect_tiles(params, cfg, paths, bounds, **kw)
+    if not records:
+        return GeoDataFrame({"geometry": [], "score": [], "det_class": []},
+                            crs="EPSG:3857")
+    return GeoDataFrame(
+        {"geometry": [r["geometry"] for r in records],
+         "score": [r["score"] for r in records],
+         "det_class": [r["det_class"] for r in records]},
+        crs="EPSG:3857")
+
+
+def run(cfg: dict, model_cfg: ModelConfig | None = None,
+        batch_size: int = 16) -> list[str]:
+    """Execute the ``make_detections.py`` YAML block."""
+    import jax
+
+    wd = cfg["working_directory"]
+    manifest = Manifest()
+
+    if model_cfg is None:
+        d2_yaml = os.path.join(wd, cfg["detectron2_config_file"])
+        model_cfg = (from_detectron2_yaml(d2_yaml)
+                     if os.path.exists(d2_yaml) else fast_profile())
+
+    ckpt = os.path.join(wd, cfg["model_weights"]["pth_file"])
+    init = init_params(jax.random.PRNGKey(0), model_cfg)
+    if os.path.exists(ckpt):
+        loaded, _ = load_params(ckpt)
+        params, _ = merge_params(init, loaded)
+        logger.info(f"loaded weights from {ckpt}")
+    else:
+        # also accept a native .npz next to the pinned .pth name
+        alt = os.path.splitext(ckpt)[0] + ".npz"
+        if os.path.exists(alt):
+            loaded, _ = load_params(alt)
+            params, _ = merge_params(init, loaded)
+            logger.info(f"loaded weights from {alt}")
+        else:
+            logger.warning(f"checkpoint {ckpt} not found; random weights")
+            params = init
+
+    score_thresh = float(cfg.get("score_lower_threshold", 0.05))
+    rdp = cfg.get("rdp_simplification", {}) or {}
+    rdp_eps = float(rdp.get("epsilon", 0.75)) if rdp.get("enabled", True) \
+        else 0.0
+
+    with open(os.path.join(wd, cfg["image_metadata_json"])) as f:
+        img_meta = json.load(f)
+
+    thr_tag = str(score_thresh).replace(".", "dot")
+    for ds, coco_rel in cfg["COCO_files"].items():
+        coco_path = os.path.join(wd, coco_rel)
+        if not os.path.exists(coco_path):
+            logger.warning(f"{coco_path} absent; skipping {ds}")
+            continue
+        with open(coco_path) as f:
+            coco = json.load(f)
+        images_dir = os.path.join(wd, f"{ds}-images")
+        gdf = detect_dataset(params, model_cfg, coco, images_dir, img_meta,
+                             batch_size=batch_size,
+                             score_thresh=score_thresh, rdp_eps=rdp_eps)
+        gdf_4326 = gdf.to_crs(epsg=4326) if len(gdf) else gdf
+        p = os.path.join(wd, f"{ds}_detections_at_{thr_tag}_threshold.gpkg")
+        write_file(gdf_4326, p, layer=f"{ds}_detections")
+        manifest.add(p)
+        logger.info(f"{ds}: {len(gdf)} detections")
+
+    manifest.log()
+    return manifest.files

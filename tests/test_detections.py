@@ -1,0 +1,129 @@
+"""Detection-path tests: mask vectorization, mask pasting, checkpoint
+round-trip, and the end-to-end make_detections stage on synthetic tiles."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from roadsurf_tpu.geom.vectorize import mask_to_polygons
+from roadsurf_tpu.pipeline.detections import paste_masks
+
+
+def test_mask_to_polygons_square():
+    m = np.zeros((16, 16), np.uint8)
+    m[4:10, 3:12] = 1
+    polys = mask_to_polygons(m)
+    assert len(polys) == 1
+    assert polys[0].area == pytest.approx(6 * 9)
+    x0, y0, x1, y1 = polys[0].bounds
+    assert (x0, y0, x1, y1) == (3, 4, 12, 10)
+
+
+def test_mask_to_polygons_hole_and_parts():
+    m = np.zeros((20, 20), np.uint8)
+    m[2:12, 2:12] = 1
+    m[5:8, 5:8] = 0          # hole
+    m[15:18, 15:19] = 1      # separate component
+    polys = mask_to_polygons(m)
+    assert len(polys) == 2
+    areas = sorted(p.area for p in polys)
+    assert areas[0] == pytest.approx(3 * 4)
+    assert areas[1] == pytest.approx(100 - 9)
+
+
+def test_mask_to_polygons_transform_and_simplify():
+    m = np.zeros((8, 8), np.uint8)
+    m[2:6, 1:7] = 1
+
+    def tf(ring):
+        out = np.empty_like(ring)
+        out[:, 0] = 100 + ring[:, 0] * 2.0
+        out[:, 1] = 50 - ring[:, 1] * 2.0
+        return out
+
+    polys = mask_to_polygons(m, transform=tf, simplify_eps=0.75)
+    assert len(polys) == 1
+    p = polys[0]
+    assert p.area == pytest.approx(4 * 6 * 4)       # scaled by 2x2
+    assert p.bounds == pytest.approx((102, 38, 114, 46))
+    # rectangle simplifies to 4 corners (5 pts closed)
+    assert len(np.asarray(p.exterior.coords)) <= 6
+
+
+def test_paste_masks_bilinear():
+    probs = np.ones((1, 28, 28), np.float32)
+    boxes = np.array([[10.0, 20.0, 50.0, 60.0]], np.float32)
+    out = paste_masks(probs, boxes, 64)
+    assert out.shape == (1, 64, 64)
+    assert out[0, 25, 25] == 1 and out[0, 5, 5] == 0
+    # roughly the box area is filled
+    assert abs(out[0].sum() - 40 * 40) < 200
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from roadsurf_tpu.utils.checkpoint import (latest_checkpoint, load_params,
+                                               save_params)
+    tree = {"a": {"b": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "blocks": [{"w": np.ones((2,))}, {"w": np.zeros((3,))}]}
+    p = str(tmp_path / "logs" / "model_0000500.npz")
+    save_params(p, tree, step=500)
+    loaded, step = load_params(p)
+    assert step == 500
+    np.testing.assert_array_equal(loaded["a"]["b"], tree["a"]["b"])
+    assert isinstance(loaded["blocks"], list) and len(loaded["blocks"]) == 2
+    np.testing.assert_array_equal(loaded["blocks"][1]["w"], np.zeros((3,)))
+    assert latest_checkpoint(str(tmp_path / "logs")) == p
+
+
+def test_merge_params_skips_mismatched():
+    from roadsurf_tpu.utils.d2_convert import merge_params
+    init = {"cls": {"w": np.zeros((4, 3))}, "conv": {"w": np.zeros((2, 2))}}
+    loaded = {"cls": {"w": np.ones((4, 81))}, "conv": {"w": np.ones((2, 2))}}
+    merged, skipped = merge_params(init, loaded)
+    assert skipped == ["cls/w"]
+    np.testing.assert_array_equal(merged["conv"]["w"], np.ones((2, 2)))
+    np.testing.assert_array_equal(merged["cls"]["w"], np.zeros((4, 3)))
+
+
+@pytest.mark.slow
+def test_detect_dataset_end_to_end(tmp_path):
+    """Random-weight model over 2 synthetic tiles: shape/contract checks."""
+    import jax
+    from roadsurf_tpu.io.geotiff import write_geotiff
+    from roadsurf_tpu.models import init_params
+    from roadsurf_tpu.models.config import fast_profile
+    from roadsurf_tpu.pipeline.detections import detect_dataset
+    from roadsurf_tpu.tiles.grid import Tile, WebMercatorQuad
+    from dataclasses import replace
+
+    cfg = replace(fast_profile(post_nms_topk=64), detections_per_image=10)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    tiles = [Tile(137150, 92343, 18), Tile(137151, 92343, 18)]
+    img_dir = tmp_path / "tst-images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    coco = {"images": []}
+    meta = {}
+    for t in tiles:
+        fn = WebMercatorQuad.tile_filename(t)
+        arr = rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)
+        b = WebMercatorQuad.xy_bounds(t)
+        write_geotiff(str(img_dir / fn), arr, b, epsg=3857)
+        coco["images"].append({"id": 1, "file_name": fn,
+                               "width": 256, "height": 256})
+        meta[fn] = {"bounds_3857": list(b)}
+
+    gdf = detect_dataset(params, cfg, coco, str(img_dir), meta,
+                         batch_size=2, score_thresh=0.0, rdp_eps=0.75)
+    # random weights may or may not clear the sigmoid threshold; contract only
+    assert set(gdf.columns) >= {"geometry", "score", "det_class"}
+    for _, row in gdf.iterrows():
+        assert row["det_class"] in (0, 1)
+        assert 0.0 <= row["score"] <= 1.0
+        x0, y0, x1, y1 = row["geometry"].bounds
+        w, s, e, n = WebMercatorQuad.xy_bounds(tiles[0])
+        e2 = WebMercatorQuad.xy_bounds(tiles[1])[2]
+        assert w - 1 <= x0 <= e2 + 1 and s - 1 <= y0 <= n + 1
