@@ -200,7 +200,10 @@ def compute_losses(params, batch, key, cfg: ModelConfig, image_size: int):
     proposals = jnp.concatenate([proposals, batch["gt_boxes"]], axis=1)
 
     # ---- ROI sampling -----------------------------------------------------
-    T = cfg.roi_batch_per_image
+    # detectron2 samples min(BATCH_SIZE_PER_IMAGE, #candidates): with 1000
+    # post-NMS proposals + G gt boxes there can be fewer candidates than the
+    # 1024 quota
+    T = min(cfg.roi_batch_per_image, proposals.shape[1])
 
     def roi_sample_one(props, gt_boxes, gt_classes, gt_valid, k):
         matched, label = match_to_gt(props, gt_boxes, gt_valid,
