@@ -194,20 +194,35 @@ def read_geotiff(path: str) -> Raster:
     c = get_ints(_SAMPLES_PER_PIXEL, [1])[0]
     bps = get_ints(_BITS_PER_SAMPLE, [8])[0]
     comp = get_ints(_COMPRESSION, [1])[0]
-    offsets = get_ints(_STRIP_OFFSETS)
-    counts = get_ints(_STRIP_BYTE_COUNTS)
-    rows_per_strip = get_ints(_ROWS_PER_STRIP, [h])[0]
-
     dtype = np.uint8 if bps == 8 else np.uint16
-    chunks = []
-    for o, cnt in zip(offsets, counts):
-        blob = buf[o:o + cnt]
+
+    def decomp(blob):
         if comp == 8 or comp == 32946:
-            blob = zlib.decompress(blob)
-        elif comp != 1:
+            return zlib.decompress(blob)
+        if comp != 1:
             raise ValueError(f"unsupported TIFF compression {comp}")
-        chunks.append(np.frombuffer(blob, dtype=dtype))
-    data = np.concatenate(chunks).reshape(h, w, c)
+        return blob
+
+    if 322 in tags:  # TileWidth: tiled layout (COG writer output)
+        tw = get_ints(322)[0]
+        th = get_ints(323)[0]
+        offsets = get_ints(324)
+        counts = get_ints(325)
+        tx = (w + tw - 1) // tw
+        data = np.zeros((h, w, c), dtype)
+        for ti, (o, cnt) in enumerate(zip(offsets, counts)):
+            block = np.frombuffer(decomp(buf[o:o + cnt]),
+                                  dtype=dtype).reshape(th, tw, c)
+            j, i = divmod(ti, tx)
+            ys, xs = j * th, i * tw
+            bh, bw = min(th, h - ys), min(tw, w - xs)
+            data[ys:ys + bh, xs:xs + bw] = block[:bh, :bw]
+    else:
+        offsets = get_ints(_STRIP_OFFSETS)
+        counts = get_ints(_STRIP_BYTE_COUNTS)
+        chunks = [np.frombuffer(decomp(buf[o:o + cnt]), dtype=dtype)
+                  for o, cnt in zip(offsets, counts)]
+        data = np.concatenate(chunks).reshape(h, w, c)
 
     sx = sy = 1.0
     west = north = 0.0
