@@ -6,6 +6,19 @@ Prints ONE JSON line:
 Baseline: the BASELINE.json north star of 5,000 256px tiles/sec/chip
 (the reference publishes no throughput; its make_detections stage ran on a
 single unspecified CUDA GPU).
+
+Measurement notes (kept honest against two backend quirks):
+* inputs differ per step — the remote-TPU execution layer caches identical
+  (executable, args) dispatches, which would fake arbitrarily high numbers;
+* completion is forced by fetching a scalar from every step's output —
+  ``block_until_ready`` returns at RPC acknowledgement on the tunneled
+  backend, not at execution completion.
+
+Profile: ``fast_profile`` — the TPU-first deployment configuration (native
+256px tiles, 256 pre-NMS / 128 post-NMS proposals, 8 detections/tile with
+masks, single-sweep NMS). The 800px/1000-proposal/100-detection parity
+profile used for F1 validation runs ~15× slower by design; road tiles hold
+a handful of instances, so the deployment caps lose nothing in practice.
 """
 
 import json
@@ -20,10 +33,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from roadsurf_tpu.models import fast_profile, init_params, make_inference_fn
+    from roadsurf_tpu.models import fast_profile, init_params, \
+        make_inference_fn
 
     batch = int(os.environ.get("BENCH_BATCH", "64"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    steps = int(os.environ.get("BENCH_STEPS", "8"))
     cfg = fast_profile()
 
     params = init_params(jax.random.PRNGKey(0), cfg)
@@ -31,20 +45,24 @@ def main():
     params = jax.device_put(params, dev)
     fn = jax.jit(make_inference_fn(cfg, with_masks=True))
 
-    images = np.random.randint(0, 255, (batch, 256, 256, 3), np.uint8)
-    images = jax.device_put(jnp.asarray(images), dev)
+    rng = np.random.default_rng(0)
+    batches = [jax.device_put(jnp.asarray(
+        rng.integers(0, 255, (batch, 256, 256, 3), dtype=np.uint8)), dev)
+        for _ in range(steps)]
 
-    # warmup / compile
-    out = fn(params, images)
-    jax.block_until_ready(out)
+    # warmup / compile (separate input so nothing below is cached)
+    warm = jax.device_put(jnp.asarray(
+        rng.integers(0, 255, (batch, 256, 256, 3), dtype=np.uint8)), dev)
+    float(fn(params, warm)["scores"].sum())
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(params, images)
-    jax.block_until_ready(out)
+    acc = 0.0
+    for x in batches:
+        out = fn(params, x)
+        acc += float(out["scores"].sum())   # forces completion
     dt = time.perf_counter() - t0
 
-    tiles_per_sec = batch * iters / dt
+    tiles_per_sec = batch * steps / dt
     baseline = 5000.0
     print(json.dumps({
         "metric": "mask_rcnn_r50fpn_256px_tile_inference",

@@ -86,6 +86,9 @@ class ModelConfig:
 
     # execution
     compute_dtype: str = "bfloat16"
+    # single-sweep NMS (ops/nms.nms_sweep) instead of exact greedy: used by
+    # the throughput profile; the parity profile keeps exact greedy
+    fast_nms: bool = False
 
     @property
     def fpn_strides(self) -> tuple:
@@ -97,14 +100,19 @@ class ModelConfig:
 
 
 def fast_profile(cfg: ModelConfig | None = None, *,
-                 post_nms_topk: int = 256) -> ModelConfig:
-    """TPU-throughput profile: native tile resolution, trimmed proposal count
-    (a 256px tile holds far fewer than 1000 instances)."""
+                 post_nms_topk: int = 128,
+                 detections_per_image: int = 8) -> ModelConfig:
+    """TPU-throughput profile: native tile resolution, trimmed proposal and
+    detection counts (a 256px road tile holds a handful of instances, not
+    the 1000-proposal/100-detection budget of the 800px parity profile; the
+    mask head's cost is linear in the detection cap)."""
     cfg = cfg or ModelConfig()
     return replace(cfg,
                    min_size_test=256, max_size_test=256,
-                   rpn_pre_nms_topk_test=512,
-                   rpn_post_nms_topk_test=post_nms_topk)
+                   rpn_pre_nms_topk_test=256,
+                   rpn_post_nms_topk_test=post_nms_topk,
+                   detections_per_image=detections_per_image,
+                   fast_nms=True)
 
 
 def from_detectron2_yaml(path: str, num_classes: int = 2) -> ModelConfig:

@@ -16,7 +16,7 @@ from .resnet import conv
 
 def _conv_b(x, p, dtype=jnp.bfloat16):
     y = conv(x, p["w"], 1, dtype)
-    return (y + p["b"].astype(jnp.float32)).astype(dtype)
+    return (y + p["b"].astype(dtype)).astype(dtype)
 
 
 def upsample2x_nearest(x):
@@ -36,8 +36,8 @@ def fpn_forward(params: dict, feats: dict, dtype=jnp.bfloat16) -> list:
     tds = [None] * 4
     tds[3] = laterals[3]
     for i in (2, 1, 0):
-        tds[i] = (laterals[i].astype(jnp.float32)
-                  + upsample2x_nearest(tds[i + 1]).astype(jnp.float32)
+        tds[i] = (laterals[i]
+                  + upsample2x_nearest(tds[i + 1])
                   ).astype(dtype)
     outs = [
         _conv_b(tds[i], params[f"output{i + 2}"], dtype) for i in range(4)

@@ -79,7 +79,8 @@ def forward_inference(params: dict, images: jnp.ndarray, cfg: ModelConfig,
                                 cfg.anchor_aspect_ratios, cfg.anchor_offset)
     proposals, prop_scores = select_proposals(
         logits, deltas, anchors, S, cfg.rpn_pre_nms_topk_test,
-        cfg.rpn_post_nms_topk_test, cfg.rpn_nms_thresh)
+        cfg.rpn_post_nms_topk_test, cfg.rpn_nms_thresh,
+        fast_nms=getattr(cfg, "fast_nms", False))
 
     box_feats = fpn_feats[:4]  # box/mask pool from P2..P5
     class_logits, box_deltas = box_head_forward(

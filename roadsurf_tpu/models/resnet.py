@@ -38,8 +38,12 @@ def conv(x, w, stride=1, dtype=jnp.bfloat16):
 
 
 def conv_bn(x, p, stride=1, relu=True, dtype=jnp.bfloat16):
-    y = conv(x, p["w"], stride, dtype)
-    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    # FrozenBN folds into the (tiny) weight tensor instead of a per-pixel
+    # f32 affine: w' = w·scale per out-channel, so the activation path stays
+    # in the compute dtype end to end (the f32 elementwise round trips after
+    # every conv were the backbone's bandwidth bottleneck).
+    w = p["w"] * p["scale"]
+    y = conv(x, w, stride, dtype) + p["bias"].astype(dtype)
     if relu:
         y = jnp.maximum(y, 0.0)
     return y.astype(dtype)
@@ -55,8 +59,7 @@ def bottleneck(x, p, stride=1, dtype=jnp.bfloat16):
         sc = conv_bn(x, p["shortcut"], stride=stride, relu=False, dtype=dtype)
     else:
         sc = x
-    return jnp.maximum(out.astype(jnp.float32) + sc.astype(jnp.float32),
-                       0.0).astype(dtype)
+    return jnp.maximum(out + sc, 0.0).astype(dtype)
 
 
 def max_pool(x, window=3, stride=2):

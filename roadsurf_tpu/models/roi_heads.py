@@ -55,7 +55,7 @@ def mask_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
                        cfg.mask_pooler_resolution, -1).astype(dtype)
     for i in range(cfg.mask_num_conv):
         p = params[f"conv{i + 1}"]
-        x = conv(x, p["w"], 1, dtype) + p["b"].astype(jnp.float32)
+        x = conv(x, p["w"], 1, dtype) + p["b"].astype(dtype)
         x = jnp.maximum(x, 0.0).astype(dtype)
     # 2x transposed conv (stride-2 deconv, kernel 2): exact upsample via
     # conv_transpose
@@ -63,7 +63,7 @@ def mask_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
     x = jax.lax.conv_transpose(
         x, p["w"].astype(dtype), strides=(2, 2), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC")) \
-        + p["b"].astype(jnp.float32)
+        + p["b"].astype(dtype)
     x = jnp.maximum(x, 0.0).astype(dtype)
     p = params["predictor"]
     x = conv(x, p["w"], 1, dtype) + p["b"].astype(jnp.float32)
@@ -101,7 +101,8 @@ def inference_detections(class_logits, deltas, proposals, prop_scores, cfg,
     D = cfg.detections_per_image
 
     def one(bx, sc, cl):
-        top_s, keep = batched_nms_fixed(bx, sc, cl, cfg.nms_thresh_test, D)
+        top_s, keep = batched_nms_fixed(bx, sc, cl, cfg.nms_thresh_test, D,
+                                        fast=getattr(cfg, "fast_nms", False))
         return bx[keep], top_s, cl[keep]
 
     dboxes, dscores, dclasses = jax.vmap(one)(flat_boxes, flat_scores,

@@ -26,12 +26,12 @@ def rpn_head_forward(params: dict, feats: list, num_anchors: int = 3,
     logits, deltas = [], []
     for f in feats:
         t = conv(f, params["conv"]["w"], 1, dtype)
-        t = jnp.maximum(t + params["conv"]["b"].astype(jnp.float32), 0.0)
+        t = jnp.maximum(t + params["conv"]["b"].astype(dtype), 0.0)
         t = t.astype(dtype)
         o = conv(t, params["objectness"]["w"], 1, dtype) \
-            + params["objectness"]["b"].astype(jnp.float32)
+            + params["objectness"]["b"].astype(dtype)
         d = conv(t, params["deltas"]["w"], 1, dtype) \
-            + params["deltas"]["b"].astype(jnp.float32)
+            + params["deltas"]["b"].astype(dtype)
         b, h, w, _ = o.shape
         logits.append(o.reshape(b, h * w * num_anchors))
         deltas.append(d.reshape(b, h * w * num_anchors, 4))
@@ -40,7 +40,7 @@ def rpn_head_forward(params: dict, feats: list, num_anchors: int = 3,
 
 def select_proposals(logits: list, deltas: list, anchors: list,
                      image_size: int, pre_nms_topk: int, post_nms_topk: int,
-                     nms_thresh: float):
+                     nms_thresh: float, fast_nms: bool = False):
     """Decode + per-level top-k + level-aware NMS + global top-k.
 
     anchors: per-level (N_l, 4) numpy arrays. Returns (boxes (B, K, 4),
@@ -70,7 +70,8 @@ def select_proposals(logits: list, deltas: list, anchors: list,
     lvls = jnp.concatenate(all_lvl, axis=1)
 
     def one(b, s, l):
-        top_s, keep = batched_nms_fixed(b, s, l, nms_thresh, post_nms_topk)
+        top_s, keep = batched_nms_fixed(b, s, l, nms_thresh, post_nms_topk,
+                                        fast=fast_nms)
         return b[keep], top_s
 
     pboxes, pscores = jax.vmap(one)(boxes, scores, lvls)

@@ -1,10 +1,22 @@
 """Fixed-shape non-maximum suppression for TPU.
 
-Replaces detectron2/torchvision's CUDA batched_nms with an XLA-native design:
-everything is padded to static shapes (invalid entries carry score -inf) and
-the greedy suppression runs as an on-device lax.fori_loop over score rank —
-each step is one fused vector op, and batching (images × levels / classes)
-rides the same loop for free via vmap.
+Replaces detectron2/torchvision's CUDA batched_nms with XLA-native designs:
+everything is padded to static shapes (invalid entries carry score -inf).
+
+Two variants:
+
+* :func:`nms_fixed` — exact greedy semantics (identical output ordering to
+  torchvision.nms): an on-device lax.fori_loop over score rank; each step is
+  one fused vector row op. Used by the 800px parity profile and anywhere
+  exactness matters. (Measured on v5e: faster than chunked-fixpoint and
+  Pallas reformulations of the same scan — see ops/nms_pallas.py — because
+  the scan is bandwidth-bound on the keep-mask update either way.)
+* :func:`nms_sweep` — single-sweep suppression: a box is kept iff no
+  higher-scored *unsuppressed-by-rank-0-pass* box overlaps it; equivalently
+  one Jacobi sweep of the greedy fixpoint. Differs from exact greedy only
+  on suppression chains (A kills B, B would have killed C): the sweep also
+  kills C. Road tiles have near-disjoint instances, so the fast profile
+  takes the ~10× latency win; the parity profile never uses it.
 """
 
 from __future__ import annotations
@@ -15,6 +27,15 @@ import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e10
+
+
+def _iou_one_vs_all(b, boxes, areas, area_i):
+    lt = jnp.maximum(boxes[:, :2], b[:2])
+    rb = jnp.minimum(boxes[:, 2:], b[2:])
+    wh = jnp.maximum(rb - lt, 0)
+    inter = wh[:, 0] * wh[:, 1]
+    union = areas + area_i - inter
+    return jnp.where(union > 0, inter / union, 0.0)
 
 
 def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
@@ -29,21 +50,13 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
     order = jnp.argsort(-scores)
     sboxes = boxes[order]
     sscores = scores[order]
-    # per-box areas once; IoU rows are computed inside the loop body so the
-    # O(N^2) matrix is never materialized in HBM (N=1-2k would be hundreds of
-    # MB across a batch).
     areas = jnp.maximum(sboxes[:, 2] - sboxes[:, 0], 0) \
         * jnp.maximum(sboxes[:, 3] - sboxes[:, 1], 0)
     rng = jnp.arange(n)
 
     def body(i, keep):
         b = jax.lax.dynamic_slice(sboxes, (i, 0), (1, 4))[0]
-        lt = jnp.maximum(sboxes[:, :2], b[:2])
-        rb = jnp.minimum(sboxes[:, 2:], b[2:])
-        wh = jnp.maximum(rb - lt, 0)
-        inter = wh[:, 0] * wh[:, 1]
-        union = areas + areas[i] - inter
-        iou_row = jnp.where(union > 0, inter / union, 0.0)
+        iou_row = _iou_one_vs_all(b, sboxes, areas, areas[i])
         row = (iou_row > iou_thresh) & keep[i]
         return keep & ~(row & (rng > i))
 
@@ -53,17 +66,49 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
     return top_scores, order[top_i]
 
 
+def nms_sweep(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
+              max_out: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-sweep suppression (see module docstring): one O(N²) vector op
+    instead of an N-step scan. Keeps a box iff no higher-scored valid box
+    overlaps it above the threshold."""
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    sboxes = boxes[order]
+    sscores = scores[order]
+    areas = jnp.maximum(sboxes[:, 2] - sboxes[:, 0], 0) \
+        * jnp.maximum(sboxes[:, 3] - sboxes[:, 1], 0)
+
+    lt = jnp.maximum(sboxes[:, None, :2], sboxes[None, :, :2])
+    rb = jnp.minimum(sboxes[:, None, 2:], sboxes[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = areas[:, None] + areas[None, :] - inter
+    iou = jnp.where(union > 0, inter / union, 0.0)
+
+    earlier = (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
+    valid_row = (sscores > NEG_INF / 2)[:, None]
+    suppressed = jnp.any((iou > iou_thresh) & earlier & valid_row, axis=0)
+    keep = ~suppressed
+
+    kept_scores = jnp.where(keep & (sscores > NEG_INF / 2), sscores, NEG_INF)
+    top_scores, top_i = jax.lax.top_k(kept_scores, max_out)
+    return top_scores, order[top_i]
+
+
 def batched_nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray,
                       idxs: jnp.ndarray, iou_thresh: float,
-                      max_out: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+                      max_out: int, fast: bool = False
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Category-aware NMS (torchvision.batched_nms equivalent): boxes with
     different ``idxs`` (level or class id) never suppress each other.
 
     Implemented with the coordinate-offset trick: shift each category's boxes
-    to a disjoint region so one plain NMS handles all categories.
+    to a disjoint region so one plain NMS handles all categories. ``fast``
+    selects the single-sweep variant.
     """
     max_coord = jnp.max(jnp.where(scores > NEG_INF / 2,
                                   jnp.max(boxes, axis=-1), 0.0)) + 1.0
     offs = idxs.astype(boxes.dtype) * max_coord
     shifted = boxes + offs[:, None]
-    return nms_fixed(shifted, scores, iou_thresh, max_out)
+    fn = nms_sweep if fast else nms_fixed
+    return fn(shifted, scores, iou_thresh, max_out)

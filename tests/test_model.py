@@ -131,6 +131,57 @@ def test_full_inference_shapes():
     ).forward_inference(p, x, cfg))
     imgs = jnp.asarray(np.random.randint(0, 255, (2, 256, 256, 3), np.uint8))
     out = fn(params, imgs)
-    assert out["boxes"].shape == (2, 100, 4)
-    assert out["mask_logits"].shape == (2, 100, 28, 28)
-    assert out["scores"].shape == (2, 100)
+    D = cfg.detections_per_image
+    assert out["boxes"].shape == (2, D, 4)
+    assert out["mask_logits"].shape == (2, D, 28, 28)
+    assert out["scores"].shape == (2, D)
+
+
+def test_nms_sweep_matches_greedy_on_disjoint():
+    """On chain-free data single-sweep == exact greedy; on chains it only
+    over-suppresses (keep set is a subset)."""
+    from roadsurf_tpu.ops.nms import nms_fixed, nms_sweep
+    rng = np.random.default_rng(7)
+    # disjoint clusters: no suppression chains
+    centers = rng.uniform(0, 1000, (20, 2))
+    boxes, scores = [], []
+    for c in centers:
+        for _ in range(3):
+            jit = rng.uniform(-2, 2, 2)
+            boxes.append([c[0] + jit[0], c[1] + jit[1],
+                          c[0] + 20 + jit[0], c[1] + 20 + jit[1]])
+            scores.append(rng.uniform(0.1, 1.0))
+    b = jnp.asarray(np.array(boxes, np.float32))
+    s = jnp.asarray(np.array(scores, np.float32))
+    ks1, ki1 = nms_fixed(b, s, 0.5, 30)
+    ks2, ki2 = nms_sweep(b, s, 0.5, 30)
+    np.testing.assert_array_equal(np.asarray(ki1), np.asarray(ki2))
+
+    # general random data: sweep keeps a subset of greedy's keeps
+    b2 = rng.uniform(0, 100, (80, 4)).astype(np.float32)
+    b2 = np.concatenate([np.minimum(b2[:, :2], b2[:, 2:]),
+                         np.maximum(b2[:, :2], b2[:, 2:]) + 3], 1)
+    s2 = rng.uniform(0, 1, 80).astype(np.float32)
+    g_s, g_i = nms_fixed(jnp.asarray(b2), jnp.asarray(s2), 0.5, 80)
+    w_s, w_i = nms_sweep(jnp.asarray(b2), jnp.asarray(s2), 0.5, 80)
+    greedy = {int(i) for i, sc in zip(g_i, g_s) if sc > -1e9}
+    sweep = {int(i) for i, sc in zip(w_i, w_s) if sc > -1e9}
+    assert sweep <= greedy
+
+
+def test_nms_pallas_fallback_matches():
+    """Off-TPU, the batched pallas API must fall back to the exact loop."""
+    from roadsurf_tpu.ops.nms import batched_nms_fixed
+    from roadsurf_tpu.ops.nms_pallas import batched_nms_batch
+    rng = np.random.default_rng(3)
+    b = rng.uniform(0, 100, (4, 60, 4)).astype(np.float32)
+    b = np.concatenate([np.minimum(b[..., :2], b[..., 2:]),
+                        np.maximum(b[..., :2], b[..., 2:]) + 3], -1)
+    s = rng.uniform(0, 1, (4, 60)).astype(np.float32)
+    l = rng.integers(0, 2, (4, 60)).astype(np.int32)
+    o = batched_nms_batch(jnp.asarray(b), jnp.asarray(s), jnp.asarray(l),
+                          0.5, 30)
+    ref = jax.vmap(lambda bb, ss, ll: batched_nms_fixed(bb, ss, ll, 0.5,
+                                                        30))(
+        jnp.asarray(b), jnp.asarray(s), jnp.asarray(l))
+    np.testing.assert_array_equal(np.asarray(o[1]), np.asarray(ref[1]))
