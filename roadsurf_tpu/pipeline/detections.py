@@ -80,24 +80,31 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
     (geometry in EPSG:3857 of the tile bounds, score, det_class).
 
     tile_bounds[i] = (west, south, east, north) in 3857 for image i.
-    """
-    import jax
 
-    fn = jax.jit(make_inference_fn(cfg, with_masks=True))
+    The device loop runs through the sharded, lag-pipelined
+    :class:`~roadsurf_tpu.engine.infer.TileInferenceEngine`, so host-side
+    mask vectorization overlaps device compute and multi-chip meshes shard
+    the tile batch automatically.
+    """
+    from ..engine.infer import TileInferenceEngine
+
+    engine = TileInferenceEngine(params, cfg, batch_size=batch_size,
+                                 with_masks=True)
     records = []
     n = len(image_paths)
-    for start in range(0, n, batch_size):
-        chunk = image_paths[start:start + batch_size]
-        imgs = np.stack([read_geotiff(p).data[:, :, :3] for p in chunk])
-        pad = batch_size - len(chunk)
-        if pad:
-            imgs = np.concatenate(
-                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
-        dets = jax.device_get(fn(params, imgs))
 
-        for bi in range(len(chunk)):
-            idx = start + bi
+    def batches():
+        for start in range(0, n, batch_size):
+            chunk = image_paths[start:start + batch_size]
+            yield np.stack([read_geotiff(p).data[:, :, :3] for p in chunk])
+
+    idx = 0
+    for dets in engine.run(batches()):
+        n_im = len(dets["scores"])
+        start = idx
+        for bi in range(n_im):
             west, south, east, north = tile_bounds[idx]
+            idx += 1
             sx = (east - west) / tile_size
             sy = (north - south) / tile_size
             valid = dets["valid"][bi] & (dets["scores"][bi] >= score_thresh)

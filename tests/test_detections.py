@@ -127,3 +127,33 @@ def test_detect_dataset_end_to_end(tmp_path):
         w, s, e, n = WebMercatorQuad.xy_bounds(tiles[0])
         e2 = WebMercatorQuad.xy_bounds(tiles[1])[2]
         assert w - 1 <= x0 <= e2 + 1 and s - 1 <= y0 <= n + 1
+
+
+@pytest.mark.slow
+def test_inference_engine_sharded_cpu_mesh():
+    """The tile-inference engine shards the batch over the 8-device CPU
+    mesh and returns per-batch host arrays (tail batch trimmed)."""
+    import jax
+    from dataclasses import replace
+    from roadsurf_tpu.engine.infer import TileInferenceEngine
+    from roadsurf_tpu.models import init_params
+    from roadsurf_tpu.models.config import fast_profile
+
+    cfg = replace(fast_profile(post_nms_topk=32), min_size_test=64,
+                  max_size_test=64, detections_per_image=4)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    eng = TileInferenceEngine(params, cfg, batch_size=8, with_masks=False,
+                              devices=jax.devices()[:8])
+    assert eng.mesh is not None
+
+    rng = np.random.default_rng(0)
+
+    def batches():
+        yield rng.integers(0, 255, (8, 64, 64, 3)).astype(np.uint8)
+        yield rng.integers(0, 255, (3, 64, 64, 3)).astype(np.uint8)  # tail
+
+    outs = list(eng.run(batches()))
+    assert len(outs) == 2
+    assert outs[0]["boxes"].shape == (8, 4, 4)
+    assert outs[1]["boxes"].shape == (3, 4, 4)
+    assert eng.tiles_seen == 11

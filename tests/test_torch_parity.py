@@ -1,0 +1,190 @@
+"""Parity tests against torch/torchvision reference implementations (CPU).
+
+The reference pipeline's engine is detectron2 on CUDA; its numerically
+critical custom ops are ROIAlignV2 and batched NMS. torchvision ships the
+same op implementations on CPU, giving an independent oracle for the
+TPU-native reimplementations, and torch lets us fabricate a detectron2-style
+state dict to pin the checkpoint converter (FrozenBN folding, layout moves).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+try:
+    import torchvision
+except ImportError:
+    torchvision = None
+
+needs_torchvision = pytest.mark.skipif(torchvision is None,
+                                       reason="torchvision not installed")
+
+import jax
+import jax.numpy as jnp
+
+from roadsurf_tpu.ops import nms_fixed, roi_align_multilevel
+from roadsurf_tpu.ops.roi_align import _roi_align_gather, _level_assignment
+
+
+@needs_torchvision
+def test_roi_align_matches_torchvision_aligned():
+    """Single-level ROIAlignV2 (aligned=True) vs torchvision.ops.roi_align."""
+    rng = np.random.default_rng(0)
+    H = W = 32
+    feat = rng.normal(size=(1, H, W, 8)).astype(np.float32)
+    boxes = np.array([[4.0, 6.0, 27.5, 30.0],
+                      [0.0, 0.0, 10.0, 8.0],
+                      [12.3, 4.7, 25.1, 19.9]], np.float32)
+
+    # torchvision: NCHW, rois (idx, x0, y0, x1, y1), spatial_scale vs stride
+    t_feat = torch.from_numpy(feat.transpose(0, 3, 1, 2))
+    rois = torch.from_numpy(
+        np.concatenate([np.zeros((3, 1), np.float32), boxes], 1))
+    ref = torchvision.ops.roi_align(t_feat, rois, output_size=7,
+                                    spatial_scale=1.0, sampling_ratio=2,
+                                    aligned=True)
+    ref = ref.numpy().transpose(0, 2, 3, 1)          # (R, 7, 7, C)
+
+    # ours: stride-1 level; force single level by passing 4 copies and boxes
+    # small enough to land on P2 with canonical math for stride 1
+    feats = [jnp.asarray(feat)] * 4
+    lvl = jnp.zeros((1, 3), jnp.int32)
+    # separable path
+    from roadsurf_tpu.ops.roi_align import _roi_align_separable
+    out_sep = np.asarray(_roi_align_separable(
+        feats, jnp.asarray(boxes[None]), lvl, 7, 2, min_level=0))[0]
+    np.testing.assert_allclose(out_sep, ref, atol=2e-4)
+    # gather path
+    out_g = np.asarray(_roi_align_gather(
+        feats, jnp.asarray(boxes[None]), lvl, 7, 2, min_level=0))[0]
+    np.testing.assert_allclose(out_g, ref, atol=2e-4)
+
+
+@needs_torchvision
+def test_nms_matches_torchvision():
+    rng = np.random.default_rng(5)
+    b = rng.uniform(0, 200, (200, 4)).astype(np.float32)
+    b = np.concatenate([np.minimum(b[:, :2], b[:, 2:]),
+                        np.maximum(b[:, :2], b[:, 2:]) + 5], 1)
+    s = rng.uniform(0, 1, 200).astype(np.float32)
+
+    ref_keep = torchvision.ops.nms(torch.from_numpy(b),
+                                   torch.from_numpy(s), 0.5).numpy()
+    ks, ki = nms_fixed(jnp.asarray(b), jnp.asarray(s), 0.5, 200)
+    mine = np.asarray([int(i) for i, sc in zip(ki, ks) if sc > -1e9])
+    np.testing.assert_array_equal(mine, ref_keep)
+
+
+def _fake_d2_state_dict():
+    """Minimal detectron2-named state dict covering every converter rule."""
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+
+    def conv_unit(name, cin, cout, k):
+        sd[f"{name}.weight"] = torch.randn(cout, cin, k, k, generator=g)
+        sd[f"{name}.norm.weight"] = torch.rand(cout, generator=g) + 0.5
+        sd[f"{name}.norm.bias"] = torch.randn(cout, generator=g)
+        sd[f"{name}.norm.running_mean"] = torch.randn(cout, generator=g)
+        sd[f"{name}.norm.running_var"] = torch.rand(cout, generator=g) + 0.1
+
+    conv_unit("backbone.bottom_up.stem.conv1", 3, 64, 7)
+    blocks = (3, 4, 6, 3)
+    cin, out = 64, 256
+    for si, stage in enumerate(["res2", "res3", "res4", "res5"]):
+        mid = out // 4
+        for bi in range(blocks[si]):
+            base = f"backbone.bottom_up.{stage}.{bi}"
+            conv_unit(f"{base}.conv1", cin, mid, 1)
+            conv_unit(f"{base}.conv2", mid, mid, 3)
+            conv_unit(f"{base}.conv3", mid, out, 1)
+            if bi == 0:
+                conv_unit(f"{base}.shortcut", cin, out, 1)
+            cin = out
+        out *= 2
+
+    for lvl, cin in zip(range(2, 6), (256, 512, 1024, 2048)):
+        sd[f"backbone.fpn_lateral{lvl}.weight"] = torch.randn(
+            256, cin, 1, 1, generator=g)
+        sd[f"backbone.fpn_lateral{lvl}.bias"] = torch.randn(256, generator=g)
+        sd[f"backbone.fpn_output{lvl}.weight"] = torch.randn(
+            256, 256, 3, 3, generator=g)
+        sd[f"backbone.fpn_output{lvl}.bias"] = torch.randn(256, generator=g)
+
+    for name, cout in (("conv", 256), ("objectness_logits", 3),
+                       ("anchor_deltas", 12)):
+        sd[f"proposal_generator.rpn_head.{name}.weight"] = torch.randn(
+            cout, 256, 1 if name != "conv" else 3,
+            1 if name != "conv" else 3, generator=g)
+        sd[f"proposal_generator.rpn_head.{name}.bias"] = torch.randn(
+            cout, generator=g)
+
+    sd["roi_heads.box_head.fc1.weight"] = torch.randn(1024, 12544,
+                                                      generator=g)
+    sd["roi_heads.box_head.fc1.bias"] = torch.randn(1024, generator=g)
+    sd["roi_heads.box_head.fc2.weight"] = torch.randn(1024, 1024,
+                                                      generator=g)
+    sd["roi_heads.box_head.fc2.bias"] = torch.randn(1024, generator=g)
+    # COCO-80 heads: converter must skip them on shape mismatch
+    sd["roi_heads.box_predictor.cls_score.weight"] = torch.randn(
+        81, 1024, generator=g)
+    sd["roi_heads.box_predictor.cls_score.bias"] = torch.randn(
+        81, generator=g)
+    sd["roi_heads.box_predictor.bbox_pred.weight"] = torch.randn(
+        320, 1024, generator=g)
+    sd["roi_heads.box_predictor.bbox_pred.bias"] = torch.randn(
+        320, generator=g)
+    for i in range(1, 5):
+        sd[f"roi_heads.mask_head.mask_fcn{i}.weight"] = torch.randn(
+            256, 256, 3, 3, generator=g)
+        sd[f"roi_heads.mask_head.mask_fcn{i}.bias"] = torch.randn(
+            256, generator=g)
+    sd["roi_heads.mask_head.deconv.weight"] = torch.randn(256, 256, 2, 2,
+                                                          generator=g)
+    sd["roi_heads.mask_head.deconv.bias"] = torch.randn(256, generator=g)
+    sd["roi_heads.mask_head.predictor.weight"] = torch.randn(
+        80, 256, 1, 1, generator=g)
+    sd["roi_heads.mask_head.predictor.bias"] = torch.randn(80, generator=g)
+    return sd
+
+
+def test_d2_checkpoint_conversion_forward_parity(tmp_path):
+    """Convert a torch-made detectron2 state dict and check the folded
+    stem conv reproduces torch's conv+FrozenBN output; class-mismatched
+    heads fall back to native init."""
+    from roadsurf_tpu.models import fast_profile, init_params
+    from roadsurf_tpu.utils.checkpoint import load_params
+    from roadsurf_tpu.utils.d2_convert import merge_params
+
+    sd = _fake_d2_state_dict()
+    p = str(tmp_path / "model_final.pth")
+    torch.save(sd, p)
+
+    loaded, _ = load_params(p)
+    cfg = fast_profile()
+    init = init_params(jax.random.PRNGKey(0), cfg)
+    params, skipped = merge_params(jax.device_get(init), loaded)
+    # the 2-class heads must be skipped (shape mismatch vs COCO-80)
+    assert any("cls" in s for s in skipped)
+    assert any("predictor" in s for s in skipped)
+
+    # numeric parity of the folded stem: torch conv + FrozenBN vs ours
+    x = np.random.default_rng(1).normal(
+        size=(1, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        t = torch.nn.functional.conv2d(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            sd["backbone.bottom_up.stem.conv1.weight"],
+            stride=2, padding=3)
+        gamma = sd["backbone.bottom_up.stem.conv1.norm.weight"]
+        beta = sd["backbone.bottom_up.stem.conv1.norm.bias"]
+        mean = sd["backbone.bottom_up.stem.conv1.norm.running_mean"]
+        var = sd["backbone.bottom_up.stem.conv1.norm.running_var"]
+        scale = gamma / torch.sqrt(var + 1e-5)
+        ref = torch.relu(t * scale[None, :, None, None]
+                         + (beta - mean * scale)[None, :, None, None])
+        ref = ref.numpy().transpose(0, 2, 3, 1)
+
+    from roadsurf_tpu.models.resnet import conv_bn
+    mine = np.asarray(conv_bn(jnp.asarray(x), params["backbone"]["stem"],
+                              stride=2, dtype=jnp.float32))
+    np.testing.assert_allclose(mine, ref, atol=2e-4, rtol=1e-4)
