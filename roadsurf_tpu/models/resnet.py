@@ -117,6 +117,12 @@ def init_resnet(key, depth: int = 50, stem_out: int = 64,
                 "conv2": _unit_init(next(keys), 3, 3, mid, mid),
                 "conv3": _unit_init(next(keys), 1, 1, mid, out),
             }
+            # zero-init the residual branch's BN scale (the standard
+            # zero-gamma trick): from-scratch activations stay bounded
+            # through the residual stream — detectron2 never trains
+            # FrozenBN from scratch, so this only affects cold starts and
+            # is overwritten by any converted checkpoint
+            bp["conv3"]["scale"] = jnp.zeros_like(bp["conv3"]["scale"])
             if bi == 0:
                 bp["shortcut"] = _unit_init(next(keys), 1, 1, cin, out)
             stage_blocks.append(bp)

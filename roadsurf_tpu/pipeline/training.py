@@ -231,8 +231,20 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
                 f"{max_iter} iters")
 
     state = init_train_state(jax.random.PRNGKey(0), cfg)
-    if init_checkpoint and os.path.exists(init_checkpoint):
-        from ..utils.checkpoint import load_params
+    start_iter = 0
+    from ..utils.checkpoint import latest_checkpoint, load_params
+    resume = latest_checkpoint(log_dir)
+    if resume:
+        # file-level re-entrancy, like every other pipeline stage: a run
+        # restarted on the same log dir resumes from its newest checkpoint
+        loaded, step0 = load_params(resume)
+        from ..utils.d2_convert import merge_params
+        state["params"], _ = merge_params(
+            jax.device_get(state["params"]), loaded)
+        start_iter = step0 or 0
+        state["step"] = jnp.asarray(start_iter, jnp.int32)
+        logger.info(f"resuming from {resume} at iter {start_iter}")
+    elif init_checkpoint and os.path.exists(init_checkpoint):
         from ..utils.d2_convert import merge_params
         loaded, _ = load_params(init_checkpoint)
         state["params"], _ = merge_params(
@@ -263,7 +275,7 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
     mf = open(metrics_path, "a")
     t0 = time.time()
     try:
-        for it in range(max_iter):
+        for it in range(start_iter, max_iter):
             batch = feeder.next()
             if batch_sharding is not None:
                 batch = {k: jax.device_put(v, batch_sharding)

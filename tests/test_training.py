@@ -120,3 +120,27 @@ def test_short_training_run(tmp_path):
     lines = [json.loads(l) for l in
              open(tmp_path / "logs" / "metrics.jsonl")]
     assert all(np.isfinite(l["total"]) for l in lines if "total" in l)
+
+
+@pytest.mark.slow
+def test_training_resume(tmp_path):
+    """Restarting on the same log dir resumes from the newest checkpoint."""
+    import jax
+    from dataclasses import replace
+    from roadsurf_tpu.models.config import fast_profile
+    from roadsurf_tpu.pipeline.training import train
+
+    coco, img_dir = _mini_coco(tmp_path, n_images=4, size=64)
+    cfg = replace(fast_profile(post_nms_topk=32),
+                  min_size_test=64, max_size_test=64,
+                  roi_batch_per_image=32, rpn_batch_per_image=16,
+                  detections_per_image=8, checkpoint_period=1,
+                  eval_period=1000)
+    log_dir = str(tmp_path / "logs")
+    state = train(cfg, coco, img_dir, log_dir, max_iter=1, batch_size=4,
+                  image_size=64, max_instances=4, log_every=1)
+    assert int(state["step"]) == 1
+    state2 = train(cfg, coco, img_dir, log_dir, max_iter=3, batch_size=4,
+                   image_size=64, max_instances=4, log_every=1)
+    assert int(state2["step"]) == 3
+    assert os.path.exists(os.path.join(log_dir, "model_0000002.npz"))
