@@ -23,8 +23,10 @@ Layer map (mirrors SURVEY.md §1 of the reference analysis):
   ops/      Pallas + XLA device ops                (ref: detectron2 CUDA ops)
   models/   Mask R-CNN R50-FPN in functional JAX   (ref: detectron2 0.6)
   parallel/ mesh construction, sharded feed        (ref: single CUDA stream)
-  engine/   tileset gen, train, detect, assess     (ref: STDL object-detector)
-  pipeline/ the end-user workflow scripts          (ref: scripts/*)
+  engine/   train step + sharded inference engine  (ref: detectron2 trainer)
+  stats/    descriptive stats, PCA, pixel extract  (ref: fct_statistics)
+  pipeline/ the workflow stages incl. the STDL     (ref: scripts/* + STDL
+            object-detector equivalents             object-detector)
   viz/      dependency-free HTML charts            (ref: plotly)
 """
 

@@ -25,7 +25,7 @@ from ..geom.table import GeoDataFrame
 from ..geom.vectorize import mask_to_polygons
 from ..io import write_file
 from ..io.geotiff import read_geotiff
-from ..models import from_detectron2_yaml, init_params, make_inference_fn
+from ..models import from_detectron2_yaml, init_params
 from ..models.config import ModelConfig, fast_profile
 from ..utils.checkpoint import load_params
 from ..utils.d2_convert import merge_params
