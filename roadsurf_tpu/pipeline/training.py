@@ -27,6 +27,7 @@ import os
 import queue
 import threading
 import time
+from functools import partial
 
 import numpy as np
 
@@ -273,6 +274,65 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
 
     metrics_path = os.path.join(log_dir, "metrics.jsonl")
     mf = open(metrics_path, "a")
+    tb = None
+    try:        # TensorBoard events like the reference trainer (optional)
+        from torch.utils.tensorboard import SummaryWriter
+        tb = SummaryWriter(log_dir)
+    except ImportError:
+        pass
+
+    def emit(tag_values: dict, it: int):
+        mf.write(json.dumps(dict(tag_values, iter=it)) + "\n")
+        mf.flush()
+        if tb is not None:
+            for k, v in tag_values.items():
+                if isinstance(v, (int, float)):
+                    tb.add_scalar(k, v, it)
+
+    det_eval_fn = None
+
+    def detection_eval(batch) -> dict:
+        """Object-level recall/precision on one val batch: detections
+        matched to gt boxes at IoU ≥ 0.5 (the in-loop stand-in for the
+        reference's periodic COCO eval, detectron2 EVAL_PERIOD)."""
+        nonlocal det_eval_fn
+        from ..models.mask_rcnn import forward_inference
+        if det_eval_fn is None:
+            det_eval_fn = jax.jit(partial(forward_inference, cfg=cfg,
+                                          with_masks=False))
+        out = jax.device_get(det_eval_fn(state["params"], batch["image"]))
+        tp = fp = n_gt = 0
+        for b in range(len(out["scores"])):
+            gts = [batch["gt_boxes"][b][g]
+                   for g in range(len(batch["gt_valid"][b]))
+                   if batch["gt_valid"][b][g]]
+            n_gt += len(gts)
+            used = set()
+            for d in range(len(out["scores"][b])):
+                if not out["valid"][b][d] or out["scores"][b][d] < 0.5:
+                    continue
+                db = out["boxes"][b][d]
+                hit = False
+                for gi, gt in enumerate(gts):
+                    if gi in used:
+                        continue
+                    x0 = max(gt[0], db[0]); y0 = max(gt[1], db[1])
+                    x1 = min(gt[2], db[2]); y1 = min(gt[3], db[3])
+                    inter = max(x1 - x0, 0) * max(y1 - y0, 0)
+                    union = ((gt[2] - gt[0]) * (gt[3] - gt[1])
+                             + (db[2] - db[0]) * (db[3] - db[1]) - inter)
+                    if union > 0 and inter / union >= 0.5:
+                        used.add(gi)
+                        hit = True
+                        break
+                tp += hit
+                fp += not hit
+            del used
+        rec = tp / n_gt if n_gt else 0.0
+        prec = tp / (tp + fp) if (tp + fp) else 0.0
+        return {"val_det_recall": round(rec, 4),
+                "val_det_precision": round(prec, 4)}
+
     t0 = time.time()
     try:
         for it in range(start_iter, max_iter):
@@ -289,8 +349,8 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
                     batch_size * min(it + 1, log_every)
                     / max(time.time() - t0, 1e-9), 2)
                 t0 = time.time()
-                mf.write(json.dumps(m) + "\n")
-                mf.flush()
+                it_num = m.pop("iter")
+                emit(m, it_num)
                 logger.info(f"iter {it + 1}/{max_iter} "
                             f"total={m['total']:.3f} lr={m['lr']:.5f} "
                             f"({m['imgs_per_sec']} img/s)")
@@ -304,10 +364,10 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
                 # discarded: we keep the pre-eval state)
                 v = {f"val_{k}": float(x)
                      for k, x in jax.device_get(vm).items()}
-                v["iter"] = it + 1
-                mf.write(json.dumps(v) + "\n")
-                mf.flush()
-                logger.info(f"eval @{it + 1}: val_total={v['val_total']:.3f}")
+                v.update(detection_eval(vb))
+                emit(v, it + 1)
+                logger.info(f"eval @{it + 1}: val_total={v['val_total']:.3f} "
+                            f"det_recall={v['val_det_recall']}")
 
             if (it + 1) % cfg.checkpoint_period == 0 or it + 1 == max_iter:
                 p = os.path.join(log_dir, f"model_{it:07d}.npz")
@@ -318,6 +378,8 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
         if val_feeder:
             val_feeder.close()
         mf.close()
+        if tb is not None:
+            tb.close()
     return jax.device_get(state)
 
 
