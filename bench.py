@@ -23,7 +23,6 @@ a handful of instances, so the deployment caps lose nothing in practice.
 
 import json
 import os
-import sys
 import time
 
 import numpy as np

@@ -17,14 +17,12 @@ detectron2's on-the-fly polygon rasterization).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.anchors import (all_level_anchors, apply_deltas, box_iou,
-                              clip_boxes, get_deltas)
+from ..models.anchors import all_level_anchors, box_iou, get_deltas
 from ..models.config import ModelConfig
 from ..models.fpn import fpn_forward
 from ..models.mask_rcnn import init_params, preprocess

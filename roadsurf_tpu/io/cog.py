@@ -17,7 +17,7 @@ import numpy as np
 from .geotiff import (_BITS_PER_SAMPLE, _COMPRESSION, _EXTRA_SAMPLES,
                       _GEO_KEY_DIRECTORY, _IMAGE_LENGTH, _IMAGE_WIDTH,
                       _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT, _NODATA,
-                      _PHOTOMETRIC, _PLANAR_CONFIG, _SAMPLE_FORMAT,
+                      _PHOTOMETRIC, _SAMPLE_FORMAT,
                       _SAMPLES_PER_PIXEL, _TYPE_SIZES)
 
 _NEW_SUBFILE_TYPE = 254

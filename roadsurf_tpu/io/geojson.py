@@ -13,7 +13,7 @@ import numpy as np
 import pandas as pd
 
 from ..crs import CRS
-from ..geom import GeoDataFrame, mapping, shape
+from ..geom import GeoDataFrame, mapping
 
 
 def read_geojson(path: str) -> GeoDataFrame:

@@ -15,7 +15,6 @@ Params schema (per conv+frozenBN unit): {"w": HWIO, "scale": C, "bias": C}.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

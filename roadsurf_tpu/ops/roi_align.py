@@ -24,7 +24,6 @@ the numpy reference in tests/test_model.py).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ import numpy as np
 
 from ..crs.transform import transform_xy
 from ..io.cog import DEFAULT_OVERVIEWS, write_cog
-from ..io.geotiff import Raster, read_geotiff, write_geotiff
+from ..io.geotiff import Raster, read_geotiff
 from ..io.objstore import ObjectStore
 from ..utils.logging import logger
 from ..utils.misc import ensure_dir_exists

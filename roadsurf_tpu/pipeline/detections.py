@@ -30,7 +30,7 @@ from ..models.config import ModelConfig, fast_profile
 from ..utils.checkpoint import load_params
 from ..utils.d2_convert import merge_params
 from ..utils.logging import logger
-from ..utils.misc import Manifest, ensure_dir_exists
+from ..utils.misc import Manifest
 
 
 def paste_masks(mask_probs: np.ndarray, boxes: np.ndarray, size: int,

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Sequence
 
 import numpy as np
 import pandas as pd
@@ -24,7 +23,7 @@ from ..geom.cleanup import (keep_largest_part, polygons_diff_without_artifacts,
                             test_valid_geom)
 from ..geom.table import GeoDataFrame, sjoin, overlay
 from ..io import read_excel, read_file, write_file
-from ..tiles.grid import Tile, WebMercatorQuad, parse_tile_id
+from ..tiles.grid import WebMercatorQuad
 from ..utils.logging import logger
 from ..utils.misc import Manifest, ensure_dir_exists, test_crs
 

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import os
 
-import pandas as pd
-
 from ..geom.cleanup import keep_largest_part, polygons_diff_without_artifacts
 from ..geom.table import GeoDataFrame, overlay, sjoin
 from ..io import read_excel, read_file, write_file

@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 
 from ..geom.affinity import scale
-from ..geom.core import BaseGeometry, MultiPolygon, Polygon, mapping
+from ..geom.core import BaseGeometry, MultiPolygon, Polygon
 from ..geom.table import GeoDataFrame, sjoin
 from ..io import read_file, write_file
 from ..tiles.fetch import TileFetcher

@@ -12,7 +12,7 @@ import numpy as np
 import pandas as pd
 
 from ..geom import _native as N
-from ..geom.core import BaseGeometry, MultiPolygon, Polygon
+from ..geom.core import BaseGeometry
 from ..io.geotiff import Raster, read_geotiff
 
 

@@ -14,8 +14,6 @@ import sys
 import urllib.request
 
 import numpy as np
-import pandas as pd
-
 from ..io.geotiff import Raster, read_geotiff, write_geotiff
 from ..utils.logging import logger
 

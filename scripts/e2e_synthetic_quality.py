@@ -35,9 +35,9 @@ import yaml
 
 from roadsurf_tpu.geom import _native as N
 from roadsurf_tpu.io import read_file
-from roadsurf_tpu.pipeline import (classify, detections, evaluate,
-                                   label_prep, tilesets, training)
-from roadsurf_tpu.tiles.grid import WebMercatorQuad, parse_tile_id
+from roadsurf_tpu.pipeline import (detections, evaluate, label_prep,
+                                   tilesets, training)
+from roadsurf_tpu.tiles.grid import WebMercatorQuad
 from roadsurf_tpu.utils.logging import logger
 
 

@@ -22,8 +22,8 @@ needs_torchvision = pytest.mark.skipif(torchvision is None,
 import jax
 import jax.numpy as jnp
 
-from roadsurf_tpu.ops import nms_fixed, roi_align_multilevel
-from roadsurf_tpu.ops.roi_align import _roi_align_gather, _level_assignment
+from roadsurf_tpu.ops import nms_fixed
+from roadsurf_tpu.ops.roi_align import _roi_align_gather
 
 
 @needs_torchvision
