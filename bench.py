@@ -35,9 +35,18 @@ def main():
     from roadsurf_tpu.models import fast_profile, init_params, \
         make_inference_fn
 
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
-    steps = int(os.environ.get("BENCH_STEPS", "6"))
-    cfg = fast_profile()
+    profile = os.environ.get("BENCH_PROFILE", "fast")
+    if profile == "parity":
+        # the reference-geometry path (800px resize, 1000 proposals,
+        # 100 detections, exact NMS) used for F1-parity runs
+        from roadsurf_tpu.models import ModelConfig
+        cfg = ModelConfig()
+        batch = int(os.environ.get("BENCH_BATCH", "16"))
+        steps = int(os.environ.get("BENCH_STEPS", "3"))
+    else:
+        cfg = fast_profile()
+        batch = int(os.environ.get("BENCH_BATCH", "256"))
+        steps = int(os.environ.get("BENCH_STEPS", "6"))
 
     params = init_params(jax.random.PRNGKey(0), cfg)
     dev = jax.devices()[0]
@@ -70,7 +79,9 @@ def main():
     tiles_per_sec = batch * steps / dt
     baseline = 5000.0
     print(json.dumps({
-        "metric": "mask_rcnn_r50fpn_256px_tile_inference",
+        "metric": "mask_rcnn_r50fpn_256px_tile_inference"
+                  if profile != "parity"
+                  else "mask_rcnn_r50fpn_parity800_tile_inference",
         "value": round(tiles_per_sec, 1),
         "unit": "tiles/sec/chip",
         "vs_baseline": round(tiles_per_sec / baseline, 3),
