@@ -72,6 +72,8 @@ _lib.geom_rasterize.argtypes = [
     C.c_double, C.c_double, C.c_double, C.c_double,
     C.c_int, C.c_int, _u8p, C.c_uint8,
 ]
+_lib.geom_trace_mask.restype = C.c_void_p
+_lib.geom_trace_mask.argtypes = [_u8p, C.c_int, C.c_int]
 
 OP_INTERSECTION, OP_UNION, OP_DIFFERENCE, OP_XOR = 0, 1, 2, 3
 
@@ -184,3 +186,12 @@ def rasterize(flat: FlatPolySet, x0: float, dx: float, y0: float, dy: float,
     _lib.geom_rasterize(xy, rs, len(rs), pr, len(pr), x0, dx, y0, dy,
                         height, width, out, value)
     return out
+
+
+def trace_mask(mask: np.ndarray) -> list[np.ndarray]:
+    """Boundary rings of a binary mask as closed (N, 2) pixel-corner
+    arrays (C++ tracer; see geom/vectorize.py for the semantics)."""
+    m = np.ascontiguousarray(mask, dtype=np.uint8)
+    h = _lib.geom_trace_mask(m, m.shape[0], m.shape[1])
+    polys = _collect(h)
+    return [rings[0] for rings in polys]

@@ -995,4 +995,86 @@ void geom_rasterize(const double* xy, const int32_t* ring_sizes, int nrings,
   }
 }
 
+// --- mask boundary tracing: pixel-exact rectilinear rings ------------------
+// Directed boundary edges between filled and empty pixels (interior kept on
+// a consistent side), linked into closed rings; exteriors get positive
+// shoelace area in the y-down pixel frame, holes negative. Mirrors the
+// Python reference tracer in roadsurf_tpu/geom/vectorize.py (the hot host
+// stage of mask->polygon vectorization in the detection pipeline).
+GeomResult* geom_trace_mask(const uint8_t* mask, int height, int width) {
+  const int W1 = width + 1;
+  const int nverts = (height + 1) * W1;
+  std::vector<int32_t> e1(nverts, -1), e2(nverts, -1);
+  int64_t nedges = 0;
+  auto add = [&](int a, int b) {
+    if (e1[a] < 0) e1[a] = b; else e2[a] = b;
+    nedges++;
+  };
+  for (int r = 0; r < height; r++) {
+    const uint8_t* row = mask + (size_t)r * width;
+    for (int c = 0; c < width; c++) {
+      if (!row[c]) continue;
+      bool top = (r == 0) || !mask[(size_t)(r - 1) * width + c];
+      bool bot = (r == height - 1) || !mask[(size_t)(r + 1) * width + c];
+      bool lef = (c == 0) || !row[c - 1];
+      bool rig = (c == width - 1) || !row[c + 1];
+      int tl = r * W1 + c, tr = tl + 1;
+      int bl = (r + 1) * W1 + c, br = bl + 1;
+      if (top) add(tl, tr);
+      if (bot) add(br, bl);
+      if (lef) add(bl, tl);
+      if (rig) add(tr, br);
+    }
+  }
+  auto* res = new GeomResult();
+  std::vector<int> ring;
+  for (int start = 0; start < nverts && nedges > 0; start++) {
+    if (e1[start] < 0) continue;
+    ring.clear();
+    ring.push_back(start);
+    int cur = start, pdx = 0, pdy = 0;
+    int64_t guard = nedges + 1;
+    while (guard-- > 0) {
+      int nxt;
+      if (e2[cur] < 0) {
+        nxt = e1[cur];
+        e1[cur] = -1;
+      } else {
+        // checkerboard corner: prefer the smaller turn (cross product of
+        // incoming x outgoing) so each ring stays simple — same rule as
+        // the Python tracer
+        int c1 = e1[cur], c2 = e2[cur];
+        auto turn = [&](int to) {
+          int dx = (to % W1) - (cur % W1);
+          int dy = (to / W1) - (cur / W1);
+          return pdx * dy - pdy * dx;
+        };
+        if (turn(c1) <= turn(c2)) {
+          nxt = c1;
+          e1[cur] = e2[cur];
+          e2[cur] = -1;
+        } else {
+          nxt = c2;
+          e2[cur] = -1;
+        }
+      }
+      nedges--;
+      pdx = (nxt % W1) - (cur % W1);
+      pdy = (nxt / W1) - (cur / W1);
+      cur = nxt;
+      ring.push_back(cur);
+      if (cur == start) break;
+    }
+    if (ring.size() >= 5 && ring.front() == ring.back()) {
+      res->ring_sizes.push_back((int32_t)ring.size());
+      res->poly_rings.push_back(1);
+      for (int v : ring) {
+        res->xy.push_back((double)(v % W1));
+        res->xy.push_back((double)(v / W1));
+      }
+    }
+  }
+  return res;
+}
+
 }  // extern "C"

