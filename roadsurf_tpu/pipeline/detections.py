@@ -98,40 +98,50 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
             chunk = image_paths[start:start + batch_size]
             yield np.stack([read_geotiff(p).data[:, :, :3] for p in chunk])
 
+    def vectorize_one(dets, bi, bounds):
+        """Per-image host stage: paste masks, trace, simplify, georeference.
+        numpy and the C++ tracer release the GIL, so these parallelize."""
+        west, south, east, north = bounds
+        sx = (east - west) / tile_size
+        sy = (north - south) / tile_size
+        valid = dets["valid"][bi] & (dets["scores"][bi] >= score_thresh)
+        if not valid.any():
+            return []
+        boxes = dets["boxes"][bi][valid]
+        scores = dets["scores"][bi][valid]
+        classes = dets["classes"][bi][valid]
+        probs = _sigmoid(dets["mask_logits"][bi][valid])
+        bin_masks = paste_masks(probs, boxes, tile_size)
+
+        def to_world(ring):
+            out = np.empty_like(ring)
+            out[:, 0] = west + ring[:, 0] * sx
+            out[:, 1] = north - ring[:, 1] * sy
+            return out
+
+        recs = []
+        for d in range(len(boxes)):
+            for poly in mask_to_polygons(bin_masks[d], transform=to_world,
+                                         simplify_eps=rdp_eps):
+                recs.append({"geometry": poly, "score": float(scores[d]),
+                             "det_class": int(classes[d])})
+        return recs
+
+    import concurrent.futures as cf
+
     idx = 0
-    for dets in engine.run(batches()):
-        n_im = len(dets["scores"])
-        start = idx
-        for bi in range(n_im):
-            west, south, east, north = tile_bounds[idx]
-            idx += 1
-            sx = (east - west) / tile_size
-            sy = (north - south) / tile_size
-            valid = dets["valid"][bi] & (dets["scores"][bi] >= score_thresh)
-            if not valid.any():
-                continue
-            boxes = dets["boxes"][bi][valid]
-            scores = dets["scores"][bi][valid]
-            classes = dets["classes"][bi][valid]
-            probs = _sigmoid(dets["mask_logits"][bi][valid])
-            bin_masks = paste_masks(probs, boxes, tile_size)
-
-            def to_world(ring, _sx=sx, _sy=sy, _w=west, _n=north):
-                out = np.empty_like(ring)
-                out[:, 0] = _w + ring[:, 0] * _sx
-                out[:, 1] = _n - ring[:, 1] * _sy
-                return out
-
-            for d in range(len(boxes)):
-                polys = mask_to_polygons(bin_masks[d], transform=to_world,
-                                         simplify_eps=rdp_eps)
-                for poly in polys:
-                    records.append({"geometry": poly,
-                                    "score": float(scores[d]),
-                                    "det_class": int(classes[d])})
-        if progress_every and (start // batch_size) % progress_every == 0:
-            logger.info(f"inference: {min(start + batch_size, n)}/{n} tiles, "
-                        f"{len(records)} detections")
+    with cf.ThreadPoolExecutor(max_workers=4) as pool:
+        for dets in engine.run(batches()):
+            n_im = len(dets["scores"])
+            start = idx
+            futs = [pool.submit(vectorize_one, dets, bi, tile_bounds[idx + bi])
+                    for bi in range(n_im)]
+            idx += n_im
+            for fut in futs:                 # in-order: deterministic output
+                records.extend(fut.result())
+            if progress_every and (start // batch_size) % progress_every == 0:
+                logger.info(f"inference: {min(start + batch_size, n)}/{n} "
+                            f"tiles, {len(records)} detections")
     return records
 
 
