@@ -30,7 +30,8 @@ class TileInferenceEngine:
     """
 
     def __init__(self, params, cfg: ModelConfig, batch_size: int = 64,
-                 with_masks: bool = True, devices=None, in_flight: int = 2):
+                 with_masks: bool = True, devices=None, in_flight: int = 2,
+                 mask_format: str = "logits"):
         import jax
 
         self.cfg = cfg
@@ -47,7 +48,8 @@ class TileInferenceEngine:
             self.mesh = None
             self.params = jax.device_put(params, devices[0])
             self._batch_sharding = devices[0]
-        self.fn = jax.jit(make_inference_fn(cfg, with_masks=with_masks))
+        self.fn = jax.jit(make_inference_fn(cfg, with_masks=with_masks,
+                                            mask_format=mask_format))
         self.tiles_seen = 0
         self.elapsed = 0.0
 

@@ -89,14 +89,21 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
     from ..engine.infer import TileInferenceEngine
 
     engine = TileInferenceEngine(params, cfg, batch_size=batch_size,
-                                 with_masks=True)
+                                 with_masks=True, mask_format="u8")
     records = []
     n = len(image_paths)
 
+    import concurrent.futures as cf
+
     def batches():
-        for start in range(0, n, batch_size):
-            chunk = image_paths[start:start + batch_size]
-            yield np.stack([read_geotiff(p).data[:, :, :3] for p in chunk])
+        # threaded tile decode (zlib/PIL release the GIL) so the read stage
+        # keeps pace with the device
+        with cf.ThreadPoolExecutor(max_workers=8) as readers:
+            for start in range(0, n, batch_size):
+                chunk = image_paths[start:start + batch_size]
+                imgs = list(readers.map(
+                    lambda p: read_geotiff(p).data[:, :, :3], chunk))
+                yield np.stack(imgs)
 
     def vectorize_one(dets, bi, bounds):
         """Per-image host stage: paste masks, trace, simplify, georeference.
@@ -110,7 +117,7 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
         boxes = dets["boxes"][bi][valid]
         scores = dets["scores"][bi][valid]
         classes = dets["classes"][bi][valid]
-        probs = _sigmoid(dets["mask_logits"][bi][valid])
+        probs = dets["mask_probs_u8"][bi][valid].astype(np.float32) / 255.0
         bin_masks = paste_masks(probs, boxes, tile_size)
 
         def to_world(ring):
@@ -127,21 +134,23 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
                              "det_class": int(classes[d])})
         return recs
 
-    import concurrent.futures as cf
-
     idx = 0
+    all_futs = []
     with cf.ThreadPoolExecutor(max_workers=4) as pool:
         for dets in engine.run(batches()):
             n_im = len(dets["scores"])
             start = idx
-            futs = [pool.submit(vectorize_one, dets, bi, tile_bounds[idx + bi])
-                    for bi in range(n_im)]
+            # don't block on the host stage here: blocking would stall the
+            # device feed; futures resolve in order at the end
+            all_futs.extend(
+                pool.submit(vectorize_one, dets, bi, tile_bounds[idx + bi])
+                for bi in range(n_im))
             idx += n_im
-            for fut in futs:                 # in-order: deterministic output
-                records.extend(fut.result())
             if progress_every and (start // batch_size) % progress_every == 0:
                 logger.info(f"inference: {min(start + batch_size, n)}/{n} "
-                            f"tiles, {len(records)} detections")
+                            "tiles dispatched")
+        for fut in all_futs:                 # in-order: deterministic output
+            records.extend(fut.result())
     return records
 
 
