@@ -64,6 +64,22 @@ def polygons_diff_without_artifacts(polygons, p1_idx, p2_idx,
     return polygons
 
 
+def intersecting_pairs(gdf, cols):
+    """Directed pairs of distinct intersecting rows via self-sjoin, deduped
+    on (OBJECTID_1, OBJECTID_2); used by both de-overlap pipelines
+    (reference prepare_data_obj_detec.py:144-149, prepare_data.py:110-117).
+    """
+    from ..geom.table import sjoin
+    probe = gdf.copy()
+    probe["saved_geom"] = probe.geometry
+    joined = sjoin(probe, probe[cols + ["saved_geom", "geometry"]],
+                   how="left", lsuffix="1", rsuffix="2")
+    pairs = joined[joined["OBJECTID_2"].notna()]
+    pairs = pairs[pairs["OBJECTID_1"] != pairs["OBJECTID_2"]]
+    return pairs.drop_duplicates(subset=["OBJECTID_1", "OBJECTID_2"]) \
+                .reset_index(drop=True)
+
+
 def test_valid_geom(gdf, correct: bool = False, gdf_obj_name: str | None = None):
     """Assert all geometries valid; repair with buffer(0) when ``correct``
     else exit(1). Mirrors fct_misc.test_valid_geom (fct_misc.py:179-208)."""

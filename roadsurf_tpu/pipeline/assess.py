@@ -42,6 +42,9 @@ def tag_detections(detections: GeoDataFrame, labels: GeoDataFrame,
     labs = labels.reset_index(drop=True).copy()
     dets["tag"] = "FP"
     labs["detected"] = False
+    # best same-class TP score matched to each label: lets threshold sweeps
+    # recompute which labels stay detected as low-score detections drop out
+    labs["match_score"] = 0.0
     if not len(dets) or not len(labs):
         return dets, labs
 
@@ -59,6 +62,9 @@ def tag_detections(detections: GeoDataFrame, labels: GeoDataFrame,
         if same:
             dets.loc[det_idx, "tag"] = "TP"
             labs.loc[lab_idx, "detected"] = True
+            labs.loc[lab_idx, "match_score"] = max(
+                labs.loc[lab_idx, "match_score"],
+                float(dets.loc[det_idx, "score"]))
         elif dets.loc[det_idx, "tag"] != "TP":
             dets.loc[det_idx, "tag"] = "wrong class"
     return dets, labs
@@ -70,17 +76,17 @@ def pr_sweep(dets: pd.DataFrame, labs: pd.DataFrame,
     thresholds = np.arange(0.05, 1.0, 0.05) if thresholds is None \
         else thresholds
     rows = []
+    n_labels = len(labs)
     for thr in thresholds:
         keep = dets[dets["score"] >= thr]
         tp = int((keep["tag"] == "TP").sum())
         fp = int(len(keep) - tp)
-        # a label only counts detected if some kept detection tagged it;
-        # approximation: labels detected at base threshold whose detection
-        # survives
-        fn = int((~labs["detected"]).sum()) + \
-            int((dets["tag"] == "TP").sum()) - tp
+        # a label stays detected while its best-matching TP survives the
+        # threshold
+        detected = int((labs["match_score"] >= thr).sum())
+        fn = n_labels - detected
         p = tp / (tp + fp) if (tp + fp) else 0.0
-        r = tp / (tp + fn) if (tp + fn) else 0.0
+        r = detected / n_labels if n_labels else 0.0
         f1 = 2 * p * r / (p + r) if (p + r) else 0.0
         rows.append({"threshold": round(float(thr), 2), "TP": tp, "FP": fp,
                      "FN": fn, "precision": p, "recall": r, "f1": f1})

@@ -138,6 +138,32 @@ def determine_detected_class(predictions: pd.DataFrame, roads: GeoDataFrame,
     return GeoDataFrame(merged, crs=roads.crs)
 
 
+def weight_predictions_on_roads(roads, predictions, tiles, quarries,
+                                shp_folder=None, manifest=None):
+    """Shared tail of the determine_class / final_metrics drivers: split off
+    quarry roads (always natural; written to roads_in_quarries.shp), clip
+    the remaining roads to the visible tile area, and weight the detection
+    scores by intersection share in EPSG:2056.
+
+    Returns (weighted predictions, roads without quarries)."""
+    logger.info("Roads in quarries are always natural...")
+    in_quarries, roads = get_roads_in_quarries(quarries, roads)
+    if shp_folder:
+        p = os.path.join(shp_folder, "roads_in_quarries.shp")
+        write_file(in_quarries, p)
+        if manifest is not None:
+            manifest.add(p)
+
+    logger.info("Limiting labels to the visible tile area...")
+    visible = clip_labels(roads, tiles[["title", "id", "geometry"]].copy())
+
+    logger.info("Weighting detection scores by intersection area...")
+    visible_2056 = visible.to_crs(epsg=2056)
+    predictions_2056 = predictions.to_crs(epsg=2056)
+    predicted = get_weighted_scores(visible_2056, predictions_2056)
+    return predicted, roads
+
+
 # ---------------------------------------------------------------------------
 # driver: ``determine_class.py`` YAML block
 
@@ -174,19 +200,8 @@ def run(cfg: dict) -> list[str]:
                     left_on="OBJEKTART", right_on="GDB-Code"),
         crs=roads.crs)
 
-    logger.info("Roads in quarries are always natural...")
-    in_quarries, filtered = get_roads_in_quarries(quarries, filtered)
-    p = os.path.join(out_dir, "roads_in_quarries.shp")
-    write_file(in_quarries, p)
-    manifest.add(p)
-
-    logger.info("Limiting labels to the visible tile area...")
-    visible = clip_labels(filtered, tiles[["title", "id", "geometry"]])
-
-    logger.info("Weighting detection scores by intersection area...")
-    visible_2056 = visible.to_crs(epsg=2056)
-    predictions_2056 = predictions.to_crs(epsg=2056)
-    predicted = get_weighted_scores(visible_2056, predictions_2056)
+    predicted, filtered = weight_predictions_on_roads(
+        filtered, predictions, tiles, quarries, out_dir, manifest)
 
     final_roads = determine_detected_class(predicted, filtered, threshold)
     p = os.path.join(out_dir, "types_from_detections.shp")

@@ -67,11 +67,6 @@ def paste_masks(mask_probs: np.ndarray, boxes: np.ndarray, size: int,
     return out
 
 
-def _sigmoid(x):
-    return np.where(x >= 0, 1.0 / (1.0 + np.exp(-np.abs(x))),
-                    np.exp(-np.abs(x)) / (1.0 + np.exp(-np.abs(x))))
-
-
 def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
                  tile_bounds: list, batch_size: int = 16,
                  score_thresh: float = 0.05, rdp_eps: float = 0.75,

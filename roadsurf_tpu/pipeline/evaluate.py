@@ -24,9 +24,8 @@ from ..utils.logging import logger
 from ..utils.misc import Manifest, ensure_dir_exists
 from ..viz import Figure
 from .classify import (determine_detected_class, get_corresponding_class,
-                       get_roads_in_quarries, get_weighted_scores)
+                       weight_predictions_on_roads)
 from .label_prep import determine_category
-from .tilesets import clip_labels
 
 
 # ---------------------------------------------------------------------------
@@ -303,6 +302,15 @@ def write_graphs(images_folder, classes, all_gm, all_bc, gt_filt_bc,
                                              "reliability_diagram.html")))
 
 
+def _gt_on_tiles(gt, tiles):
+    """Roads intersecting any of the given tiles, via the indexed sjoin
+    (replaces a per-road python loop against one huge unary_union)."""
+    from ..geom.table import sjoin
+    hit = sjoin(gt, tiles[["geometry"]], how="inner")
+    ids = set(hit.index)
+    return GeoDataFrame(gt[gt.index.isin(ids)].copy(), crs=gt.crs)
+
+
 # ---------------------------------------------------------------------------
 # driver: ``final_metrics.py`` YAML block
 
@@ -340,6 +348,11 @@ def run(cfg: dict) -> list[str]:
         d = read_file(p)
         d["dataset"] = ds
         frames.append(d)
+    if not frames:
+        logger.error("none of the configured to_evaluate detection files "
+                     "exist — run make_detections first (or fix "
+                     f"processed_folder={processed!r})")
+        sys.exit(1)
     predictions = GeoDataFrame(pd.concat(frames, ignore_index=True),
                                crs=frames[0].crs)
     predictions["det_class_name"] = [
@@ -361,20 +374,8 @@ def run(cfg: dict) -> list[str]:
     gt = GeoDataFrame(gt[gt["BELAGSART"] != 999997].copy(), crs=gt.crs)
     gt["CATEGORY"] = [determine_category(b) for b in gt["BELAGSART"]]
 
-    logger.info("Roads in quarries are always natural...")
-    in_quarries, gt = get_roads_in_quarries(quarries, gt)
-    p = os.path.join(shp_folder, "roads_in_quarries.shp")
-    write_file(in_quarries, p)
-    manifest.add(p)
-
-    logger.info("Limiting labels to the visible tile area...")
-    visible_gt = clip_labels(gt, considered_tiles[["title", "id",
-                                                   "geometry"]].copy())
-
-    logger.info("Weighting detection scores by intersection area...")
-    visible_gt_2056 = visible_gt.to_crs(epsg=2056)
-    predictions_2056 = predictions.to_crs(epsg=2056)
-    predicted = get_weighted_scores(visible_gt_2056, predictions_2056)
+    predicted, gt = weight_predictions_on_roads(
+        gt, predictions, considered_tiles, quarries, shp_folder, manifest)
     predicted.drop(columns=["OBJEKTART", "KUNSTBAUTE", "BELAGSART",
                             "road_width", "road_len", "CATEGORY",
                             "SUPERCATEGORY", "gt_type", "GDB-Code", "Width",
@@ -385,10 +386,7 @@ def run(cfg: dict) -> list[str]:
     logger.info("Determining the best threshold on the validation set...")
     val_preds = predicted[predicted["dataset"] == "val"]
     val_tiles = considered_tiles[considered_tiles["dataset"] == "val"]
-    val_union = val_tiles.geometry.unary_union
-    val_gt = GeoDataFrame(
-        gt[[g.intersects(val_union) for g in gt.geometry.values]].copy(),
-        crs=gt.crs)
+    val_gt = _gt_on_tiles(gt, val_tiles)
 
     best_thr, all_bc, all_gm, best_val_bc, best_val_gm = \
         sweep_score_threshold(val_preds, val_gt, classes)
@@ -415,10 +413,7 @@ def run(cfg: dict) -> list[str]:
         ds_tiles = considered_tiles[considered_tiles["dataset"] == ds]
         if not len(ds_tiles):
             continue
-        ds_union = ds_tiles.geometry.unary_union
-        ds_gt = GeoDataFrame(
-            gt[[g.intersects(ds_union) for g in gt.geometry.values]].copy(),
-            crs=gt.crs)
+        ds_gt = _gt_on_tiles(gt, ds_tiles)
         _, by_class, global_m = from_preds_to_metrics(
             ds_preds, ds_gt, by_class, global_m, classes, ds, best_thr)
 

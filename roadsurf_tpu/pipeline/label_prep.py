@@ -19,8 +19,8 @@ import numpy as np
 import pandas as pd
 
 from ..geom import table as gt
-from ..geom.cleanup import (keep_largest_part, polygons_diff_without_artifacts,
-                            test_valid_geom)
+from ..geom.cleanup import (intersecting_pairs, keep_largest_part,
+                            polygons_diff_without_artifacts, test_valid_geom)
 from ..geom.table import GeoDataFrame, sjoin, overlay
 from ..io import read_excel, read_file, write_file
 from ..tiles.grid import WebMercatorQuad
@@ -95,15 +95,7 @@ def determine_road_surfaces(roads: GeoDataFrame, forests: GeoDataFrame,
     buffered["geometry"] = [keep_largest_part(g) for g in polys.values]
 
     logger.info("Removing overlap between roads of different classes...")
-    buffered["saved_geom"] = buffered.geometry
-    joined = sjoin(buffered,
-                   buffered[["OBJECTID", "OBJEKTART", "saved_geom",
-                             "geometry"]],
-                   how="left", lsuffix="1", rsuffix="2")
-    pairs = joined[joined["OBJECTID_2"].notna()]
-    pairs = pairs[pairs["OBJECTID_1"] != pairs["OBJECTID_2"]]
-    pairs = pairs.drop_duplicates(subset=["OBJECTID_1", "OBJECTID_2"]) \
-                 .reset_index(drop=True)
+    pairs = intersecting_pairs(buffered, ["OBJECTID", "OBJEKTART"])
 
     pairs = pairs.assign(_rank1=_width_rank(pairs["OBJEKTART_1"]),
                          _rank2=_width_rank(pairs["OBJEKTART_2"]))
@@ -123,7 +115,7 @@ def determine_road_surfaces(roads: GeoDataFrame, forests: GeoDataFrame,
         corr = polygons_diff_without_artifacts(corr, int(p1[0]), int(p2[0]),
                                                keep_everything=True)
     corr = GeoDataFrame(corr)
-    corr.drop(columns=["saved_geom"], inplace=True)
+    corr.drop(columns=["saved_geom"], inplace=True, errors="ignore")
     corr.set_crs(epsg=2056, inplace=True)
 
     logger.info("Excluding roads under forest canopy...")

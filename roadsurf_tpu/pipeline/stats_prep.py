@@ -13,25 +13,14 @@ from __future__ import annotations
 
 import os
 
-from ..geom.cleanup import keep_largest_part, polygons_diff_without_artifacts
+from ..geom.cleanup import (intersecting_pairs, keep_largest_part,
+                            polygons_diff_without_artifacts)
 from ..geom.table import GeoDataFrame, overlay, sjoin
 from ..io import read_excel, read_file, write_file
 from ..utils.logging import logger
 from ..utils.misc import Manifest, ensure_dir_exists, test_crs
 from .label_prep import BELAGSART_TO_KEEP, KUNSTBAUTE_TO_KEEP, NOT_ROAD, \
     _DROP_COLS
-
-
-def _intersecting_pairs(gdf: GeoDataFrame, cols):
-    """Directed intersecting pairs via self-sjoin, self-pairs removed."""
-    probe = gdf.copy()
-    probe["saved_geom"] = probe.geometry
-    joined = sjoin(probe, probe[cols + ["saved_geom", "geometry"]],
-                   how="left", lsuffix="1", rsuffix="2")
-    pairs = joined[joined["OBJECTID_2"].notna()]
-    pairs = pairs[pairs["OBJECTID_1"] != pairs["OBJECTID_2"]]
-    return pairs.drop_duplicates(subset=["OBJECTID_1", "OBJECTID_2"]) \
-                .reset_index(drop=True)
 
 
 def determine_road_surfaces_stats(roads, forests, roads_parameters, aoi,
@@ -66,7 +55,7 @@ def determine_road_surfaces_stats(roads, forests, roads_parameters, aoi,
     buffered["geometry"] = [keep_largest_part(g) for g in polys.values]
 
     logger.info("Removing overlap between roads of different classes...")
-    pairs = _intersecting_pairs(buffered, ["OBJECTID", "OBJEKTART"])
+    pairs = intersecting_pairs(buffered, ["OBJECTID", "OBJEKTART"])
     rank1 = pairs["OBJEKTART_1"].astype(float).where(
         pairs["OBJEKTART_1"] != 20, 8.5)
     rank2 = pairs["OBJEKTART_2"].astype(float).where(
@@ -87,7 +76,7 @@ def determine_road_surfaces_stats(roads, forests, roads_parameters, aoi,
     corr1.drop(columns=["saved_geom"], inplace=True, errors="ignore")
 
     logger.info("Removing overlap between roads of the same class...")
-    pairs2 = _intersecting_pairs(corr1, ["OBJECTID"])
+    pairs2 = intersecting_pairs(corr1, ["OBJECTID"])
     # drop the symmetric duplicate of each undirected pair
     seen = set()
     keep_rows = []

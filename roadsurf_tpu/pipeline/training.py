@@ -179,6 +179,12 @@ class Prefetcher:
         self.thread.start()
 
     def _work(self):
+        try:
+            self._produce()
+        except BaseException as e:   # surface loader failures to next()
+            self.q.put(e)
+
+    def _produce(self):
         order = np.arange(len(self.ds))
         pos = len(order)
         while not self.stop.is_set():
@@ -199,7 +205,10 @@ class Prefetcher:
                     continue
 
     def next(self) -> dict:
-        return self.q.get()
+        item = self.q.get()
+        if isinstance(item, BaseException):
+            raise RuntimeError("prefetcher worker failed") from item
+        return item
 
     def close(self):
         self.stop.set()
@@ -291,6 +300,10 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
 
     det_eval_fn = None
 
+    from ..engine.train import compute_losses
+    val_loss_fn = jax.jit(lambda p, b: compute_losses(
+        p, b, jax.random.PRNGKey(0), cfg, image_size))
+
     def detection_eval(batch) -> dict:
         """Object-level recall/precision on one val batch: detections
         matched to gt boxes at IoU ≥ 0.5 (the in-loop stand-in for the
@@ -360,8 +373,7 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
                 if batch_sharding is not None:
                     vb = {k: jax.device_put(v, batch_sharding)
                           for k, v in vb.items()}
-                _, vm = step_fn(state, vb)   # val losses (params update is
-                # discarded: we keep the pre-eval state)
+                vm = val_loss_fn(state["params"], vb)
                 v = {f"val_{k}": float(x)
                      for k, x in jax.device_get(vm).items()}
                 v.update(detection_eval(vb))
