@@ -146,6 +146,8 @@ class Point(BaseGeometry):
         return self
 
     def buffer(self, distance, cap_style=1, quad_segs=8, resolution=None):
+        if distance <= 0:
+            return EMPTY          # shapely semantics: eroding a point
         qs = resolution or quad_segs
         n = max(4, 4 * qs)
         ang = 2 * np.pi * np.arange(n) / n
@@ -458,7 +460,11 @@ def _as_ring(shell) -> np.ndarray:
     if isinstance(shell, LineString):
         c = shell.coords_array
     else:
-        c = np.asarray(shell, dtype=np.float64).reshape(-1, 2)
+        c = np.asarray(shell, dtype=np.float64)
+        if c.ndim == 1:
+            c = c.reshape(-1, 2)
+        elif c.shape[1] > 2:     # (x, y, z) GeoJSON rings: drop elevations
+            c = c[:, :2]
     c = c.copy()
     # drop closing point
     if len(c) > 1 and np.array_equal(c[0], c[-1]):
@@ -668,7 +674,7 @@ def shape(obj: dict) -> BaseGeometry:
     t = obj["type"]
     c = obj.get("coordinates")
     if t == "Point":
-        return Point(*c)
+        return Point(c[0], c[1])     # tolerate (x, y, z)
     if t == "LineString":
         return LineString(c)
     if t == "MultiLineString":

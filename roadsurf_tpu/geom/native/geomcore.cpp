@@ -654,7 +654,9 @@ static GeomResult* polySetToResult(const PolySet& ps) {
     int nr = 0;
     for (int k = 0; k < pc; k++, ri++) {
       const auto& r = ps.rings[ri];
-      if (r.size() < 3 && k == 0) { ri += pc - 1 - k; break; }
+      // degenerate shell: skip this polygon's remaining rings entirely
+      // (break bypasses the loop's ri++, so advance by the full pc - k)
+      if (r.size() < 3 && k == 0) { ri += pc - k; break; }
       if (r.size() < 3) continue;
       res->ring_sizes.push_back((int32_t)r.size());
       for (auto& p : r) {
@@ -876,11 +878,8 @@ GeomResult* geom_buffer_polygon(const double* xy, const int32_t* ring_sizes,
 
 // point-in-polygon-set batch (evenodd over shells minus holes via winding of
 // oriented rings: shells CCW positive, holes CW negative).
-void geom_points_in_polyset(const double* pts, int npts, const double* xy,
-                            const int32_t* ring_sizes, int nrings,
-                            const int32_t* poly_rings, int npolys,
-                            uint8_t* out) {
-  PolySet ps = readPolySet(xy, ring_sizes, nrings, poly_rings, npolys);
+static void pointsInParsedSet(const double* pts, int npts, const PolySet& ps,
+                              uint8_t* out) {
   for (int i = 0; i < npts; i++) {
     double px = pts[2 * i], py = pts[2 * i + 1];
     bool inside = false;
@@ -908,6 +907,14 @@ void geom_points_in_polyset(const double* pts, int npts, const double* xy,
   }
 }
 
+void geom_points_in_polyset(const double* pts, int npts, const double* xy,
+                            const int32_t* ring_sizes, int nrings,
+                            const int32_t* poly_rings, int npolys,
+                            uint8_t* out) {
+  PolySet ps = readPolySet(xy, ring_sizes, nrings, poly_rings, npolys);
+  pointsInParsedSet(pts, npts, ps, out);
+}
+
 // segment-level intersects test between two polygon sets (boundaries cross or
 // one contains a vertex of the other). Brute force with bbox prefilter.
 int geom_polyset_intersects(const double* a_xy, const int32_t* a_rs, int a_nr,
@@ -918,19 +925,19 @@ int geom_polyset_intersects(const double* a_xy, const int32_t* a_rs, int a_nr,
   PolySet B = readPolySet(b_xy, b_rs, b_nr, b_pr, b_np);
   if (A.minx > B.maxx || A.maxx < B.minx || A.miny > B.maxy || A.maxy < B.miny)
     return 0;
-  // vertex containment either way
+  // vertex containment either way (sets parsed once, not per vertex)
   for (auto& r : A.rings)
     for (auto& p : r) {
       uint8_t o;
       double pt[2] = {p.x, p.y};
-      geom_points_in_polyset(pt, 1, b_xy, b_rs, b_nr, b_pr, b_np, &o);
+      pointsInParsedSet(pt, 1, B, &o);
       if (o) return 1;
     }
   for (auto& r : B.rings)
     for (auto& p : r) {
       uint8_t o;
       double pt[2] = {p.x, p.y};
-      geom_points_in_polyset(pt, 1, a_xy, a_rs, a_nr, a_pr, a_np, &o);
+      pointsInParsedSet(pt, 1, A, &o);
       if (o) return 1;
     }
   // edge crossings

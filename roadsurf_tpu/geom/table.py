@@ -90,28 +90,34 @@ class GeoSeries(pd.Series):
             dist = np.full(len(self), float(distance))
         else:
             dist = np.asarray(distance, dtype=np.float64)
-        out = [g.buffer(d, cap_style=cap_style,
+        # None geometries pass through (geopandas semantics; the readers
+        # produce None for NULL shapes)
+        out = [None if g is None else
+               g.buffer(d, cap_style=cap_style,
                         quad_segs=(resolution or quad_segs))
                for g, d in zip(self.values, dist)]
         return GeoSeries(out, index=self.index, crs=self.crs)
 
     def simplify(self, tolerance, preserve_topology=True) -> "GeoSeries":
-        return GeoSeries([g.simplify(tolerance) for g in self.values],
+        return GeoSeries([None if g is None else g.simplify(tolerance)
+                          for g in self.values],
                          index=self.index, crs=self.crs)
 
     def intersects(self, other) -> pd.Series:
         if isinstance(other, BaseGeometry):
-            return pd.Series([g.intersects(other) for g in self.values],
-                             index=self.index)
+            return pd.Series([False if g is None else g.intersects(other)
+                              for g in self.values], index=self.index)
         raise TypeError("intersects expects a single geometry")
 
     def intersection(self, other: BaseGeometry) -> "GeoSeries":
-        return GeoSeries([g.intersection(other) for g in self.values],
+        return GeoSeries([None if g is None else g.intersection(other)
+                          for g in self.values],
                          index=self.index, crs=self.crs)
 
     def scale(self, xfact=1.0, yfact=1.0, origin="center") -> "GeoSeries":
         from .affinity import scale as _scale
-        return GeoSeries([_scale(g, xfact, yfact, origin)
+        return GeoSeries([None if g is None else
+                          _scale(g, xfact, yfact, origin)
                           for g in self.values],
                          index=self.index, crs=self.crs)
 
@@ -125,7 +131,8 @@ class GeoSeries(pd.Series):
             x, y = transform_xy(src, dst, c[:, 0], c[:, 1])
             return np.stack([x, y], axis=1)
 
-        return GeoSeries([_apply(g, fn) for g in self.values],
+        return GeoSeries([None if g is None else _apply(g, fn)
+                          for g in self.values],
                          index=self.index, crs=dst)
 
     @property
@@ -326,9 +333,13 @@ def sjoin(left: GeoDataFrame, right: GeoDataFrame, how: str = "inner",
                 index=mpart.index)
             mrows = pd.concat([mpart, madd], axis=1)
             out = pd.concat([out, mrows], axis=0)
-            # keep original left order
-            order = np.argsort([left.index.get_loc(i) if i in left.index else 0
-                                for i in out.index], kind="stable")
+            # keep original left order — positional, robust to duplicate
+            # index labels (get_loc returns slices for those)
+            pos_of = {}
+            for pos, lab in enumerate(left.index):
+                pos_of.setdefault(lab, pos)
+            order = np.argsort([pos_of.get(i, 0) for i in out.index],
+                               kind="stable")
             out = out.iloc[order]
     elif how != "inner":
         raise ValueError(f"unsupported how {how!r}")

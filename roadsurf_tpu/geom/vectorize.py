@@ -134,12 +134,22 @@ def mask_to_polygons(mask: np.ndarray, transform=None,
     for r in rings:
         (exteriors if _ring_area_signed(r) > 0 else holes).append(r)
 
+    # each hole belongs to its INNERMOST containing exterior (a hole inside
+    # an island inside a larger hole must not also punch the outer polygon)
+    assigned: dict[int, list] = {i: [] for i in range(len(exteriors))}
+    ext_areas = [abs(_ring_area_signed(e)) for e in exteriors]
+    for h in holes:
+        best, best_area = -1, None
+        for i, ext in enumerate(exteriors):
+            if _point_in_ring(h[0], ext) and (best_area is None
+                                              or ext_areas[i] < best_area):
+                best, best_area = i, ext_areas[i]
+        if best >= 0:
+            assigned[best].append(h)
+
     out = []
-    for ext in exteriors:
-        my_holes = []
-        for h in holes:
-            if _point_in_ring(h[0], ext):
-                my_holes.append(h)
+    for ei, ext in enumerate(exteriors):
+        my_holes = assigned[ei]
         e = ext if transform is None else transform(ext)
         hs = [h if transform is None else transform(h) for h in my_holes]
         if simplify_eps > 0:

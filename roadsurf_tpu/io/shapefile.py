@@ -306,12 +306,17 @@ def _write_dbf(path: str, df: pd.DataFrame) -> None:
         s = df[col]
         name = str(col)[:10].encode("ascii", "replace")
         if pd.api.types.is_integer_dtype(s):
-            flen, fdec, ftype = 18, 0, b"N"
-            vals = [str(int(v)).rjust(flen)[:flen].encode() for v in s]
+            # size the field to the widest value so nothing truncates
+            strs = [str(int(v)) for v in s]
+            flen = min(max([len(x) for x in strs] + [1]), 254)
+            fdec, ftype = 0, b"N"
+            vals = [x.rjust(flen).encode() for x in strs]
         elif pd.api.types.is_float_dtype(s):
-            flen, fdec, ftype = 24, 10, b"N"
-            vals = [(" " * flen).encode() if pd.isna(v)
-                    else f"{v:.10f}".rjust(flen)[:flen].encode() for v in s]
+            fdec, ftype = 10, b"N"
+            strs = ["" if pd.isna(v) else f"{v:.10f}" for v in s]
+            flen = min(max([len(x) for x in strs] + [12]), 254)
+            vals = [(" " * flen).encode() if not x
+                    else x.rjust(flen).encode() for x in strs]
         elif pd.api.types.is_bool_dtype(s):
             flen, fdec, ftype = 1, 0, b"L"
             vals = [(b"T" if v else b"F") for v in s]

@@ -87,8 +87,15 @@ def read_xlsx(path: str, sheet: int = 0, header: int = 0) -> pd.DataFrame:
     return df
 
 
-def read_excel(path: str, *args, **kwargs) -> pd.DataFrame:
-    return read_xlsx(path)
+def read_excel(path: str, sheet_name=0, header: int = 0,
+               **kwargs) -> pd.DataFrame:
+    """pandas.read_excel-compatible front end (positional sheet index only;
+    unsupported pandas kwargs raise instead of being ignored)."""
+    if kwargs:
+        raise TypeError(f"unsupported read_excel arguments: {sorted(kwargs)}")
+    if not isinstance(sheet_name, int):
+        raise TypeError("sheet_name must be an integer index")
+    return read_xlsx(path, sheet=sheet_name, header=header)
 
 
 # ---------------------------------------------------------------------------

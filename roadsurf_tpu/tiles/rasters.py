@@ -20,7 +20,7 @@ from ..utils.logging import logger
 
 def download_tiles(tiles_list: list[str], directory: str = "",
                    crs: str = "2056", save_metadata: bool = False,
-                   overwrite: bool = True, opener=None) -> list[str]:
+                   overwrite: bool = False, opener=None) -> list[str]:
     """Download .tif tiles from a URL list; skip files already on disk;
     exit(1) if any download fails (reference fct_rasters.py:19-65)."""
     successful, written = [], []
@@ -30,7 +30,7 @@ def download_tiles(tiles_list: list[str], directory: str = "",
             raise Exception("Filename must end with .tif")
         name = url.split("/")[-1]
         path = os.path.join(directory, name)
-        if os.path.exists(path):
+        if os.path.exists(path) and not overwrite:
             successful.append(url)
             written.append(name)
             continue

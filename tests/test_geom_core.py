@@ -111,3 +111,65 @@ def test_keep_largest_part_pattern():
     d = base - bar
     largest = max(d.geoms, key=lambda p: p.area)
     assert largest.area == pytest.approx(40.0)
+
+
+def test_degenerate_shell_does_not_corrupt_multipolygon_ops():
+    """A shell collapsing under the snap grid must not shift ring indices
+    for the remaining polygons (regression: trivial boolean-op path)."""
+    from roadsurf_tpu.geom.core import MultiPolygon, Polygon
+    sq = Polygon([(0, 0), (10, 0), (10, 10), (0, 10)])
+    sliver = Polygon([(20, 20), (20 + 1e-12, 20), (20, 20 + 1e-12)])
+    mp = MultiPolygon([sliver, sq])
+    far = Polygon([(100, 100), (101, 100), (101, 101), (100, 101)])
+    assert mp.difference(far).area == pytest.approx(100.0)
+    assert mp.union(far).area == pytest.approx(101.0)
+
+
+def test_shape_accepts_3d_coordinates():
+    from roadsurf_tpu.geom.core import shape
+    p = shape({"type": "Polygon",
+               "coordinates": [[[0, 0, 5], [4, 0, 5], [4, 4, 6],
+                                [0, 4, 6], [0, 0, 5]]]})
+    assert p.area == pytest.approx(16.0)
+    pt = shape({"type": "Point", "coordinates": [1, 2, 3]})
+    assert (pt.x, pt.y) == (1.0, 2.0)
+
+
+def test_point_negative_buffer_is_empty():
+    from roadsurf_tpu.geom.core import Point
+    assert Point(0, 0).buffer(-2.0).is_empty
+
+
+def test_geoseries_ops_pass_none_through():
+    from roadsurf_tpu.geom.core import Polygon
+    from roadsurf_tpu.geom.table import GeoDataFrame
+    sq = Polygon([(2600000, 1200000), (2600010, 1200000),
+                  (2600010, 1200010), (2600000, 1200010)])
+    gdf = GeoDataFrame({"geometry": [sq, None]}, crs="EPSG:2056")
+    assert gdf.to_crs(epsg=4326).geometry.values[1] is None
+    assert gdf.buffer(1.0).values[1] is None
+    assert gdf.geometry.simplify(0.5).values[1] is None
+
+
+def test_sjoin_left_with_duplicate_index():
+    from roadsurf_tpu.geom.core import Polygon
+    from roadsurf_tpu.geom.table import GeoDataFrame, sjoin
+    sq = Polygon([(0, 0), (10, 0), (10, 10), (0, 10)])
+    far = Polygon([(50, 50), (51, 50), (51, 51), (50, 51)])
+    left = GeoDataFrame({"geometry": [sq, sq, far]}, crs="EPSG:2056")
+    left.index = [0, 0, 1]
+    right = GeoDataFrame({"v": [7], "geometry": [sq]}, crs="EPSG:2056")
+    out = sjoin(left, right, how="left")
+    assert len(out) == 3
+
+
+def test_mask_holes_attach_to_innermost_exterior():
+    import numpy as np
+    from roadsurf_tpu.geom.vectorize import mask_to_polygons
+    m = np.zeros((20, 20), np.uint8)
+    m[1:15, 1:15] = 1
+    m[3:13, 3:13] = 0      # hole in the outer ring -> annulus
+    m[5:11, 5:11] = 1      # island inside the hole
+    m[7:9, 7:9] = 0        # hole in the island
+    areas = sorted(round(p.area, 1) for p in mask_to_polygons(m))
+    assert areas == [32.0, 96.0]
