@@ -45,8 +45,8 @@ def main():
         steps = int(os.environ.get("BENCH_STEPS", "3"))
     else:
         cfg = fast_profile()
-        batch = int(os.environ.get("BENCH_BATCH", "256"))
-        steps = int(os.environ.get("BENCH_STEPS", "6"))
+        batch = int(os.environ.get("BENCH_BATCH", "512"))
+        steps = int(os.environ.get("BENCH_STEPS", "5"))
 
     params = init_params(jax.random.PRNGKey(0), cfg)
     dev = jax.devices()[0]
