@@ -69,29 +69,35 @@ def nms_sweep(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
               max_out: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Single-sweep suppression (see module docstring): one O(N²) vector op
     instead of an N-step scan. Keeps a box iff no higher-scored valid box
-    overlaps it above the threshold."""
-    n = boxes.shape[0]
-    order = jnp.argsort(-scores)
-    sboxes = boxes[order]
-    sscores = scores[order]
-    areas = jnp.maximum(sboxes[:, 2] - sboxes[:, 0], 0) \
-        * jnp.maximum(sboxes[:, 3] - sboxes[:, 1], 0)
+    overlaps it above the threshold.
 
-    lt = jnp.maximum(sboxes[:, None, :2], sboxes[None, :, :2])
-    rb = jnp.minimum(sboxes[:, None, 2:], sboxes[None, :, 2:])
+    Sortless formulation: "higher-scored" does not depend on rank order, so
+    the sweep runs directly on the unsorted arrays (score-then-index
+    tie-break reproduces the stable argsort ordering) — this drops the
+    bitonic argsort and the three (N,4) gathers of the sorted variant, which
+    dominated its TPU cost at proposal sizes (~1k boxes x batch).
+    """
+    n = boxes.shape[0]
+    areas = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) \
+        * jnp.maximum(boxes[:, 3] - boxes[:, 1], 0)
+
+    lt = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    rb = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
     wh = jnp.maximum(rb - lt, 0)
     inter = wh[..., 0] * wh[..., 1]
     union = areas[:, None] + areas[None, :] - inter
     iou = jnp.where(union > 0, inter / union, 0.0)
 
-    earlier = (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
-    valid_row = (sscores > NEG_INF / 2)[:, None]
-    suppressed = jnp.any((iou > iou_thresh) & earlier & valid_row, axis=0)
+    idx = jnp.arange(n)
+    higher = (scores[:, None] > scores[None, :]) \
+        | ((scores[:, None] == scores[None, :]) & (idx[:, None] < idx[None, :]))
+    valid_row = (scores > NEG_INF / 2)[:, None]
+    suppressed = jnp.any((iou > iou_thresh) & higher & valid_row, axis=0)
     keep = ~suppressed
 
-    kept_scores = jnp.where(keep & (sscores > NEG_INF / 2), sscores, NEG_INF)
+    kept_scores = jnp.where(keep & (scores > NEG_INF / 2), scores, NEG_INF)
     top_scores, top_i = jax.lax.top_k(kept_scores, max_out)
-    return top_scores, order[top_i]
+    return top_scores, top_i
 
 
 def batched_nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray,

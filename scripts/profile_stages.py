@@ -1,0 +1,153 @@
+"""Stage-by-stage throughput profile of the fast-profile inference graph.
+
+Times cumulative sub-graphs of the Mask R-CNN forward (each stage jitted
+separately, distinct inputs per step, completion forced by a scalar fetch —
+see bench.py's measurement notes) and prints a per-stage cost table. The
+difference between consecutive rows is that stage's marginal cost.
+
+Run:  python scripts/profile_stages.py            (real TPU)
+      BENCH_BATCH=512 BENCH_STEPS=4 python scripts/profile_stages.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from roadsurf_tpu.models import fast_profile, init_params
+    from roadsurf_tpu.models.mask_rcnn import preprocess, forward_features
+    from roadsurf_tpu.models.anchors import all_level_anchors
+    from roadsurf_tpu.models.rpn import rpn_head_forward, select_proposals
+    from roadsurf_tpu.models.roi_heads import (
+        box_head_forward, inference_detections, mask_head_forward)
+    from roadsurf_tpu.ops.nms import NEG_INF
+
+    cfg = fast_profile()
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    steps = int(os.environ.get("BENCH_STEPS", "4"))
+    dtype = jnp.bfloat16
+
+    S = cfg.min_size_test
+    anchors = all_level_anchors(S, cfg.fpn_strides, cfg.anchor_sizes,
+                                cfg.anchor_aspect_ratios, cfg.anchor_offset)
+
+    def st_preprocess(params, images):
+        return preprocess(images, cfg, S).astype(dtype)
+
+    def st_backbone(params, images):
+        from roadsurf_tpu.models.resnet import resnet_forward
+        x = st_preprocess(params, images)
+        return resnet_forward(params["backbone"], x, dtype)
+
+    def st_fpn(params, images):
+        x = st_preprocess(params, images)
+        return forward_features(params, x, cfg, dtype)
+
+    def st_rpn_head(params, images):
+        feats = st_fpn(params, images)
+        return rpn_head_forward(params["rpn"], feats, cfg.num_anchors, dtype)
+
+    def _proposals(params, images):
+        feats = st_fpn(params, images)
+        logits, deltas = rpn_head_forward(params["rpn"], feats,
+                                          cfg.num_anchors, dtype)
+        props, pscores = select_proposals(
+            logits, deltas, anchors, S, cfg.rpn_pre_nms_topk_test,
+            cfg.rpn_post_nms_topk_test, cfg.rpn_nms_thresh,
+            fast_nms=cfg.fast_nms)
+        return feats, props, pscores
+
+    def st_proposals(params, images):
+        _, props, pscores = _proposals(params, images)
+        return props, pscores
+
+    def st_box_head(params, images):
+        feats, props, pscores = _proposals(params, images)
+        return box_head_forward(params["box_head"], feats[:4], props, cfg,
+                                dtype)
+
+    def _dets(params, images):
+        feats, props, pscores = _proposals(params, images)
+        cl, bd = box_head_forward(params["box_head"], feats[:4], props, cfg,
+                                  dtype)
+        return feats, inference_detections(cl, bd, props, pscores, cfg, S)
+
+    def st_detections(params, images):
+        return _dets(params, images)[1]
+
+    def st_full(params, images):
+        feats, dets = _dets(params, images)
+        ml = mask_head_forward(params["mask_head"], feats[:4], dets["boxes"],
+                               cfg, dtype)
+        cls = dets["classes"]
+        dets["mask_logits"] = jnp.take_along_axis(
+            ml, cls[:, :, None, None, None], axis=-1)[..., 0]
+        return dets
+
+    stages = [
+        ("preprocess", st_preprocess),
+        ("backbone", st_backbone),
+        ("+fpn", st_fpn),
+        ("+rpn_head", st_rpn_head),
+        ("+proposals(topk+nms)", st_proposals),
+        ("+box_head(roialign+fc)", st_box_head),
+        ("+detections(cls_nms)", st_detections),
+        ("+mask_head=FULL", st_full),
+    ]
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}, "
+          f"batch={batch}, steps={steps}", file=sys.stderr)
+    params = jax.device_put(params, dev)
+
+    rng = np.random.default_rng(0)
+    batches = [jax.device_put(jnp.asarray(
+        rng.integers(0, 255, (batch, 256, 256, 3), dtype=np.uint8)), dev)
+        for _ in range(steps + 1)]
+
+    prev_ms = 0.0
+    rows = []
+    for name, fn in stages:
+        def scalar_fn(p, x, _fn=fn):
+            # reduce to ONE scalar inside the jit: the timed loop is then
+            # exactly one dispatch + one scalar fetch per step
+            out = _fn(p, x)
+            return sum(jnp.sum(l.astype(jnp.float32))
+                       for l in jax.tree.leaves(out))
+
+        jfn = jax.jit(scalar_fn)
+        try:
+            flops = jfn.lower(params, batches[0]).compile().cost_analysis()
+            gflops = flops.get("flops", 0.0) / 1e9
+        except Exception:
+            gflops = float("nan")
+        float(jfn(params, batches[0]))  # warm
+        t0 = time.perf_counter()
+        for x in batches[1:]:
+            float(jfn(params, x))
+        dt = time.perf_counter() - t0
+        ms = dt / steps * 1000.0
+        marg = ms - prev_ms
+        rows.append((name, ms, marg, gflops / batch,
+                     batch / (dt / steps)))
+        prev_ms = ms
+        print(f"{name:28s} {ms:9.2f} ms/batch  marginal {marg:8.2f} ms  "
+              f"{gflops / batch:7.2f} GFLOP/tile  {batch / (dt / steps):8.0f} tiles/s",
+              file=sys.stderr)
+
+    print("\nstage                         ms/batch  marginal_ms  GFLOP/tile  tiles/s")
+    for name, ms, marg, gft, tps in rows:
+        print(f"{name:28s} {ms:9.2f} {marg:12.2f} {gft:11.2f} {tps:8.0f}")
+
+
+if __name__ == "__main__":
+    main()
