@@ -311,9 +311,12 @@ def init_train_state(key, cfg: ModelConfig) -> dict:
     }
 
 
-def make_train_step(cfg: ModelConfig, image_size: int):
+def make_train_step(cfg: ModelConfig, image_size: int, seed: int = 7):
+    """seed drives the per-step sampling noise (RPN/ROI minibatch draws):
+    folded with the step counter so resume is deterministic, threaded from
+    the training driver so independent sweeps decorrelate."""
     def step_fn(state, batch):
-        key = jax.random.fold_in(jax.random.PRNGKey(7), state["step"])
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), state["step"])
 
         def loss_fn(params):
             losses = compute_losses(params, batch, key, cfg, image_size)

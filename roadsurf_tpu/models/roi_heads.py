@@ -57,12 +57,14 @@ def mask_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
         p = params[f"conv{i + 1}"]
         x = conv(x, p["w"], 1, dtype) + p["b"].astype(dtype)
         x = jnp.maximum(x, 0.0).astype(dtype)
-    # 2x transposed conv (stride-2 deconv, kernel 2): exact upsample via
-    # conv_transpose
+    # 2x transposed conv (stride-2 deconv, kernel 2). transpose_kernel=True
+    # + (kh, kw, out, in) kernel layout reproduces torch.nn.ConvTranspose2d
+    # exactly (pinned empirically; with in==out==256 a layout mistake passes
+    # shape checks silently — caught by the full-model torch parity test)
     p = params["deconv"]
     x = jax.lax.conv_transpose(
         x, p["w"].astype(dtype), strides=(2, 2), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC")) \
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True) \
         + p["b"].astype(dtype)
     x = jnp.maximum(x, 0.0).astype(dtype)
     p = params["predictor"]
@@ -156,8 +158,10 @@ def init_mask_head(key, cfg, in_channels: int = 256) -> dict:
             "w": msra(keys[i], (3, 3, cin, cfg.mask_conv_dim)),
             "b": jnp.zeros((cfg.mask_conv_dim,), jnp.float32)}
         cin = cfg.mask_conv_dim
+    # deconv kernel layout (kh, kw, out, in) — torch ConvTranspose2d
+    # semantics under transpose_kernel=True (see mask_head_forward)
     params["deconv"] = {
-        "w": msra(keys[-2], (2, 2, cin, cfg.mask_conv_dim)),
+        "w": msra(keys[-2], (2, 2, cfg.mask_conv_dim, cin)),
         "b": jnp.zeros((cfg.mask_conv_dim,), jnp.float32)}
     params["predictor"] = {
         "w": msra(keys[-1], (1, 1, cfg.mask_conv_dim, cfg.num_classes)),

@@ -222,7 +222,7 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
           max_iter: int | None = None, batch_size: int | None = None,
           image_size: int = 256, max_instances: int = 16,
           init_checkpoint: str | None = None, log_every: int = 20,
-          mesh=None) -> dict:
+          mesh=None, seed: int = 7) -> dict:
     """Run the training loop; returns the final train state (host)."""
     import jax
     import jax.numpy as jnp
@@ -240,7 +240,7 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
     logger.info(f"training on {len(ds)} tiles, batch {batch_size}, "
                 f"{max_iter} iters")
 
-    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    state = init_train_state(jax.random.PRNGKey(seed), cfg)
     start_iter = 0
     from ..utils.checkpoint import latest_checkpoint, load_params
     resume = latest_checkpoint(log_dir)
@@ -261,7 +261,7 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
             jax.device_get(state["params"]), loaded)
         logger.info(f"warm start from {init_checkpoint}")
 
-    step_fn = make_train_step(cfg, image_size)
+    step_fn = make_train_step(cfg, image_size, seed=seed)
     if mesh is not None:
         state = jax.device_put(state, NamedSharding(mesh, P()))
         batch_sharding = NamedSharding(mesh, P("data"))
@@ -273,7 +273,7 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
         step_fn = jax.jit(step_fn)
         batch_sharding = None
 
-    feeder = Prefetcher(ds, batch_size)
+    feeder = Prefetcher(ds, batch_size, seed=seed)
     val_feeder = None
     if val_coco and os.path.exists(val_coco):
         val_ds = CocoTileDataset(val_coco, val_images, max_instances)
@@ -430,4 +430,5 @@ def run(cfg: dict, max_iter: int | None = None,
     return train(model_cfg, trn, os.path.join(wd, "trn-images"), log_dir,
                  val_coco=val, val_images=os.path.join(wd, "val-images"),
                  max_iter=max_iter, batch_size=batch_size,
-                 init_checkpoint=init_ckpt, mesh=mesh)
+                 init_checkpoint=init_ckpt, mesh=mesh,
+                 seed=int(cfg.get("seed", 7)))

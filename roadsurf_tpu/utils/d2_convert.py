@@ -71,6 +71,23 @@ def _linear(sd: dict, base: str) -> dict | None:
             "b": sd[f"{base}.bias"].astype(np.float32)}
 
 
+def _linear_from_pooled(sd: dict, base: str, pool: int) -> dict | None:
+    """FC consuming flattened RoI features: detectron2 flattens NCHW
+    (c, p, q) while the native box head flattens NHWC (p, q, c) — permute
+    the weight's input dimension accordingly (caught by
+    tests/test_torch_parity.py::test_full_model_forward_parity)."""
+    wk = f"{base}.weight"
+    if wk not in sd:
+        return None
+    w = sd[wk]                                   # (out, C*pool*pool), (c,p,q)
+    out_dim, in_dim = w.shape
+    ch = in_dim // (pool * pool)
+    w = w.reshape(out_dim, ch, pool, pool)
+    w = np.transpose(w, (2, 3, 1, 0)).reshape(in_dim, out_dim)   # (p,q,c)
+    return {"w": w.astype(np.float32),
+            "b": sd[f"{base}.bias"].astype(np.float32)}
+
+
 def load_detectron2_checkpoint(path: str, blocks=(3, 4, 6, 3)) -> dict:
     """Convert a detectron2 Mask R-CNN R50-FPN checkpoint into the native
     parameter tree ({backbone, fpn, rpn, box_head, mask_head})."""
@@ -108,7 +125,7 @@ def load_detectron2_checkpoint(path: str, blocks=(3, 4, 6, 3)) -> dict:
     }
 
     box_head = {
-        "fc1": _linear(sd, "roi_heads.box_head.fc1"),
+        "fc1": _linear_from_pooled(sd, "roi_heads.box_head.fc1", pool=7),
         "fc2": _linear(sd, "roi_heads.box_head.fc2"),
         "cls": _linear(sd, "roi_heads.box_predictor.cls_score"),
         "bbox": _linear(sd, "roi_heads.box_predictor.bbox_pred"),
@@ -119,9 +136,13 @@ def load_detectron2_checkpoint(path: str, blocks=(3, 4, 6, 3)) -> dict:
         mask_head[f"conv{i}"] = _conv_b(sd, f"roi_heads.mask_head.mask_fcn{i}")
     dk = "roi_heads.mask_head.deconv.weight"
     if dk in sd:
-        # ConvTranspose2d (in, out, kh, kw) -> HWIO
+        # ConvTranspose2d (in, out, kh, kw) -> (kh, kw, out, in): the layout
+        # jax.lax.conv_transpose(transpose_kernel=True) needs to reproduce
+        # torch deconv exactly (pinned empirically; in==out==256 makes the
+        # wrong permutation shape-silent — caught by the full-model parity
+        # test in tests/test_torch_parity.py)
         mask_head["deconv"] = {
-            "w": np.transpose(sd[dk], (2, 3, 0, 1)).astype(np.float32),
+            "w": np.transpose(sd[dk], (2, 3, 1, 0)).astype(np.float32),
             "b": sd["roi_heads.mask_head.deconv.bias"].astype(np.float32)}
     mask_head["predictor"] = _conv_b(sd, "roi_heads.mask_head.predictor")
 

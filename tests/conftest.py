@@ -21,3 +21,5 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# test-local helper modules (fixtures.py, torch_ref_model.py)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

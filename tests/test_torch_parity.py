@@ -75,17 +75,32 @@ def test_nms_matches_torchvision():
     np.testing.assert_array_equal(mine, ref_keep)
 
 
-def _fake_d2_state_dict():
-    """Minimal detectron2-named state dict covering every converter rule."""
+def _fake_d2_state_dict(num_classes: int = 80, sane_scale: bool = False):
+    """Detectron2-named state dict covering every converter rule.
+
+    ``sane_scale=True`` He-scales conv/FC weights so a full 50-layer forward
+    stays finite (needed by the full-model parity test); the default keeps
+    the original unscaled randn weights the converter test pinned.
+    """
     g = torch.Generator().manual_seed(0)
     sd = {}
 
+    def _w(shape):
+        w = torch.randn(*shape, generator=g)
+        if sane_scale and len(shape) >= 2:
+            fan_in = int(np.prod(shape[1:]))
+            w = w * (2.0 / fan_in) ** 0.5
+        return w
+
     def conv_unit(name, cin, cout, k):
-        sd[f"{name}.weight"] = torch.randn(cout, cin, k, k, generator=g)
+        sd[f"{name}.weight"] = _w((cout, cin, k, k))
         sd[f"{name}.norm.weight"] = torch.rand(cout, generator=g) + 0.5
-        sd[f"{name}.norm.bias"] = torch.randn(cout, generator=g)
-        sd[f"{name}.norm.running_mean"] = torch.randn(cout, generator=g)
-        sd[f"{name}.norm.running_var"] = torch.rand(cout, generator=g) + 0.1
+        sd[f"{name}.norm.bias"] = torch.randn(cout, generator=g) \
+            * (0.05 if sane_scale else 1.0)
+        sd[f"{name}.norm.running_mean"] = torch.randn(cout, generator=g) \
+            * (0.05 if sane_scale else 1.0)
+        sd[f"{name}.norm.running_var"] = torch.rand(cout, generator=g) + \
+            (1.0 if sane_scale else 0.1)
 
     conv_unit("backbone.bottom_up.stem.conv1", 3, 64, 7)
     blocks = (3, 4, 6, 3)
@@ -102,48 +117,61 @@ def _fake_d2_state_dict():
             cin = out
         out *= 2
 
+    bias_s = 0.05 if sane_scale else 1.0
     for lvl, cin in zip(range(2, 6), (256, 512, 1024, 2048)):
-        sd[f"backbone.fpn_lateral{lvl}.weight"] = torch.randn(
-            256, cin, 1, 1, generator=g)
-        sd[f"backbone.fpn_lateral{lvl}.bias"] = torch.randn(256, generator=g)
-        sd[f"backbone.fpn_output{lvl}.weight"] = torch.randn(
-            256, 256, 3, 3, generator=g)
-        sd[f"backbone.fpn_output{lvl}.bias"] = torch.randn(256, generator=g)
+        sd[f"backbone.fpn_lateral{lvl}.weight"] = _w((256, cin, 1, 1))
+        sd[f"backbone.fpn_lateral{lvl}.bias"] = torch.randn(
+            256, generator=g) * bias_s
+        sd[f"backbone.fpn_output{lvl}.weight"] = _w((256, 256, 3, 3))
+        sd[f"backbone.fpn_output{lvl}.bias"] = torch.randn(
+            256, generator=g) * bias_s
 
     for name, cout in (("conv", 256), ("objectness_logits", 3),
                        ("anchor_deltas", 12)):
-        sd[f"proposal_generator.rpn_head.{name}.weight"] = torch.randn(
-            cout, 256, 1 if name != "conv" else 3,
-            1 if name != "conv" else 3, generator=g)
+        k = 3 if name == "conv" else 1
+        sd[f"proposal_generator.rpn_head.{name}.weight"] = _w(
+            (cout, 256, k, k))
         sd[f"proposal_generator.rpn_head.{name}.bias"] = torch.randn(
-            cout, generator=g)
+            cout, generator=g) * bias_s
 
-    sd["roi_heads.box_head.fc1.weight"] = torch.randn(1024, 12544,
-                                                      generator=g)
-    sd["roi_heads.box_head.fc1.bias"] = torch.randn(1024, generator=g)
-    sd["roi_heads.box_head.fc2.weight"] = torch.randn(1024, 1024,
-                                                      generator=g)
-    sd["roi_heads.box_head.fc2.bias"] = torch.randn(1024, generator=g)
-    # COCO-80 heads: converter must skip them on shape mismatch
-    sd["roi_heads.box_predictor.cls_score.weight"] = torch.randn(
-        81, 1024, generator=g)
+    sd["roi_heads.box_head.fc1.weight"] = _w((1024, 12544))
+    sd["roi_heads.box_head.fc1.bias"] = torch.randn(1024, generator=g) \
+        * bias_s
+    sd["roi_heads.box_head.fc2.weight"] = _w((1024, 1024))
+    sd["roi_heads.box_head.fc2.bias"] = torch.randn(1024, generator=g) \
+        * bias_s
+    # class heads: COCO-80 by default so the converter must skip them on
+    # shape mismatch; num_classes=2 makes them convertible
+    C = num_classes
+    sd["roi_heads.box_predictor.cls_score.weight"] = _w((C + 1, 1024))
     sd["roi_heads.box_predictor.cls_score.bias"] = torch.randn(
-        81, generator=g)
-    sd["roi_heads.box_predictor.bbox_pred.weight"] = torch.randn(
-        320, 1024, generator=g)
+        C + 1, generator=g) * bias_s
+    sd["roi_heads.box_predictor.bbox_pred.weight"] = _w((C * 4, 1024))
     sd["roi_heads.box_predictor.bbox_pred.bias"] = torch.randn(
-        320, generator=g)
+        C * 4, generator=g) * bias_s
     for i in range(1, 5):
-        sd[f"roi_heads.mask_head.mask_fcn{i}.weight"] = torch.randn(
-            256, 256, 3, 3, generator=g)
+        sd[f"roi_heads.mask_head.mask_fcn{i}.weight"] = _w((256, 256, 3, 3))
         sd[f"roi_heads.mask_head.mask_fcn{i}.bias"] = torch.randn(
-            256, generator=g)
-    sd["roi_heads.mask_head.deconv.weight"] = torch.randn(256, 256, 2, 2,
-                                                          generator=g)
-    sd["roi_heads.mask_head.deconv.bias"] = torch.randn(256, generator=g)
-    sd["roi_heads.mask_head.predictor.weight"] = torch.randn(
-        80, 256, 1, 1, generator=g)
-    sd["roi_heads.mask_head.predictor.bias"] = torch.randn(80, generator=g)
+            256, generator=g) * bias_s
+    sd["roi_heads.mask_head.deconv.weight"] = _w((256, 256, 2, 2))
+    sd["roi_heads.mask_head.deconv.bias"] = torch.randn(
+        256, generator=g) * bias_s
+    sd["roi_heads.mask_head.predictor.weight"] = _w((C, 256, 1, 1))
+    sd["roi_heads.mask_head.predictor.bias"] = torch.randn(
+        C, generator=g) * bias_s
+    if sane_scale:
+        # tame the unnormalized residual stream: He-init residual branches
+        # grow activation variance ~2x per block over 16 blocks, which makes
+        # float32 parity tolerances meaningless. Damp each block's last conv
+        # (and the shortcut projections) so activations stay O(1).
+        for k in list(sd):
+            if k.endswith("conv3.weight") or ".shortcut.weight" in k:
+                sd[k] = sd[k] * 0.3
+        # keep classification logits unsaturated: softmax scores of 1.0
+        # create exact ties, and tie order under NMS is not a semantics the
+        # stacks share (or that matters)
+        sd["roi_heads.box_predictor.cls_score.weight"] *= 0.02
+        sd["roi_heads.box_predictor.bbox_pred.weight"] *= 0.1
     return sd
 
 
@@ -188,3 +216,114 @@ def test_d2_checkpoint_conversion_forward_parity(tmp_path):
     mine = np.asarray(conv_bn(jnp.asarray(x), params["backbone"]["stem"],
                               stride=2, dtype=jnp.float32))
     np.testing.assert_allclose(mine, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_full_model_forward_parity(tmp_path):
+    """End-to-end forward parity: the composed JAX detector vs an
+    independent torch/torchvision implementation of the pinned detectron2
+    architecture (tests/torch_ref_model.py), both driven by one fabricated
+    detectron2 state dict (2-class heads, He-scaled).
+
+    Asserts stage-by-stage — FPN maps, RPN logits, post-NMS proposals,
+    final detections, per-instance mask logits — so a deliberate bug seeded
+    in any stage (layout, anchors, delta decode, NMS, RoIAlign, head
+    wiring, checkpoint conversion) fails the matching assert.
+
+    Pins the full model of reference config/detectron2_config_3bands.yaml:
+    73-321 at reduced proposal counts (CPU runtime).
+    """
+    from dataclasses import replace
+
+    from roadsurf_tpu.models import ModelConfig, init_params
+    from roadsurf_tpu.models.anchors import all_level_anchors
+    from roadsurf_tpu.models.mask_rcnn import preprocess, forward_features
+    from roadsurf_tpu.models.roi_heads import (box_head_forward,
+                                               inference_detections,
+                                               mask_head_forward)
+    from roadsurf_tpu.models.rpn import rpn_head_forward, select_proposals
+    from roadsurf_tpu.ops.nms import NEG_INF
+    from roadsurf_tpu.utils.d2_convert import merge_params
+    import torch_ref_model as ref
+
+    S, PRE, POST, DETS = 256, 400, 200, 20
+    sd = _fake_d2_state_dict(num_classes=2, sane_scale=True)
+
+    cfg = replace(ModelConfig(), num_classes=2, compute_dtype="float32",
+                  min_size_test=S, max_size_test=S,
+                  rpn_pre_nms_topk_test=PRE, rpn_post_nms_topk_test=POST,
+                  detections_per_image=DETS)
+
+    # convert the d2 weights into our model (exercises the real conversion
+    # path end to end; nothing may be skipped with matching 2-class heads)
+    from roadsurf_tpu.utils.d2_convert import load_detectron2_checkpoint
+    ckpt = str(tmp_path / "model_final.pth")
+    torch.save(sd, ckpt)
+    loaded = load_detectron2_checkpoint(ckpt)
+    init = init_params(jax.random.PRNGKey(0), cfg)
+    params, skipped = merge_params(jax.device_get(init), loaded)
+    assert not skipped, f"unexpected skipped weights: {skipped}"
+
+    rng = np.random.default_rng(3)
+    image = rng.integers(0, 255, (S, S, 3), np.uint8)
+
+    # ---- torch oracle
+    out_t = ref.full_forward(sd, image, num_classes=2,
+                             pixel_mean=cfg.pixel_mean,
+                             pixel_std=cfg.pixel_std,
+                             pre_nms=PRE, post_nms=POST,
+                             score_thresh=cfg.score_thresh_test,
+                             max_dets=DETS)
+
+    # ---- ours, stage by stage
+    dtype = jnp.float32
+    x = preprocess(jnp.asarray(image[None]), cfg, S).astype(dtype)
+    fpn = forward_features(params, x, cfg, dtype)
+    for li, (f_j, f_t) in enumerate(zip(fpn, out_t["fpn"])):
+        np.testing.assert_allclose(np.asarray(f_j)[0],
+                                   f_t[0].transpose(1, 2, 0),
+                                   atol=5e-3, rtol=1e-3,
+                                   err_msg=f"FPN P{li + 2}")
+
+    logits, deltas = rpn_head_forward(params["rpn"], fpn, cfg.num_anchors,
+                                      dtype)
+    for li, (l_j, l_t) in enumerate(zip(logits, out_t["rpn_logits"])):
+        np.testing.assert_allclose(np.asarray(l_j)[0], l_t[0],
+                                   atol=5e-3, rtol=1e-3,
+                                   err_msg=f"RPN logits P{li + 2}")
+
+    anchors = all_level_anchors(S, cfg.fpn_strides, cfg.anchor_sizes,
+                                cfg.anchor_aspect_ratios, cfg.anchor_offset)
+    props, pscores = select_proposals(logits, deltas, anchors, S, PRE, POST,
+                                      cfg.rpn_nms_thresh)
+    valid = np.asarray(pscores[0]) > NEG_INF / 2
+    n_ref = len(out_t["prop_scores"])
+    assert valid.sum() == n_ref, (valid.sum(), n_ref)
+    np.testing.assert_allclose(np.asarray(pscores[0])[valid],
+                               out_t["prop_scores"], atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(props[0])[valid],
+                               out_t["proposals"], atol=5e-2,
+                               err_msg="proposal boxes")
+
+    cl, bd = box_head_forward(params["box_head"], fpn[:4], props, cfg, dtype)
+    dets = inference_detections(cl, bd, props, pscores, cfg, S)
+    dvalid = np.asarray(dets["valid"][0])
+    n_ref = len(out_t["scores"])
+    assert dvalid.sum() == n_ref, (dvalid.sum(), n_ref)
+    np.testing.assert_allclose(np.asarray(dets["scores"][0])[dvalid],
+                               out_t["scores"], atol=5e-3, rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(dets["classes"][0])[dvalid],
+                                  out_t["classes"])
+    np.testing.assert_allclose(np.asarray(dets["boxes"][0])[dvalid],
+                               out_t["boxes"], atol=5e-2,
+                               err_msg="detection boxes")
+
+    ml = mask_head_forward(params["mask_head"], fpn[:4], dets["boxes"], cfg,
+                           dtype)
+    cls = dets["classes"]
+    masks = jnp.take_along_axis(ml, cls[:, :, None, None, None],
+                                axis=-1)[..., 0]
+    # mask logits reach |x|~50 through 6 conv layers; 0.1 absolute is
+    # ~2e-3 of scale (f32 accumulation-order noise between XLA and torch)
+    np.testing.assert_allclose(np.asarray(masks[0])[dvalid],
+                               out_t["mask_logits"], atol=0.1, rtol=1e-2,
+                               err_msg="mask logits")
