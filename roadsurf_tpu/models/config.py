@@ -57,7 +57,10 @@ class ModelConfig:
     roi_iou_threshold: float = 0.5
     box_pooler_resolution: int = 7
     mask_pooler_resolution: int = 14
-    pooler_sampling_ratio: int = 2   # fixed grid (ROIAlignV2 adaptive~=2 @800px)
+    # 0 = POOLER_SAMPLING_RATIO 0 (per-ROI adaptive ceil, the reference's
+    # pinned CUDA-op behavior, detectron2_config_3bands.yaml:174); the fast
+    # profile pins the fixed 2x2 grid (adaptive ~= 2 at 256px tile scale)
+    pooler_sampling_ratio: int = 0
     box_fc_dim: int = 1024
     box_bbox_weights: tuple = (10.0, 10.0, 5.0, 5.0)
     mask_conv_dim: int = 256
@@ -89,6 +92,9 @@ class ModelConfig:
     # single-sweep NMS (ops/nms.nms_sweep) instead of exact greedy: used by
     # the throughput profile; the parity profile keeps exact greedy
     fast_nms: bool = False
+    # fused Pallas RoIAlign kernel for inference pooling on real TPU
+    # (ops/roi_align_pallas.py); CPU/training keep the XLA formulations
+    pallas_pooler: bool = True
 
     @property
     def fpn_strides(self) -> tuple:
@@ -100,18 +106,21 @@ class ModelConfig:
 
 
 def fast_profile(cfg: ModelConfig | None = None, *,
-                 post_nms_topk: int = 128,
+                 post_nms_topk: int = 64,
                  detections_per_image: int = 8) -> ModelConfig:
     """TPU-throughput profile: native tile resolution, trimmed proposal and
     detection counts (a 256px road tile holds a handful of instances, not
     the 1000-proposal/100-detection budget of the 800px parity profile; the
-    mask head's cost is linear in the detection cap)."""
+    mask head's cost is linear in the detection cap). 64 post-NMS
+    proposals: the fast-vs-exact ablation in e2e_synthetic_quality.py
+    guards the F1 cost of the trimmed budget."""
     cfg = cfg or ModelConfig()
     return replace(cfg,
                    min_size_test=256, max_size_test=256,
                    rpn_pre_nms_topk_test=256,
                    rpn_post_nms_topk_test=post_nms_topk,
                    detections_per_image=detections_per_image,
+                   pooler_sampling_ratio=2,
                    fast_nms=True)
 
 
@@ -166,6 +175,7 @@ def from_detectron2_yaml(path: str, num_classes: int = 2) -> ModelConfig:
         roi_iou_threshold=tuple(roi.get("IOU_THRESHOLDS", (0.5,)))[0],
         box_pooler_resolution=box.get("POOLER_RESOLUTION", 7),
         mask_pooler_resolution=msk.get("POOLER_RESOLUTION", 14),
+        pooler_sampling_ratio=box.get("POOLER_SAMPLING_RATIO", 0),
         box_fc_dim=box.get("FC_DIM", 1024),
         box_bbox_weights=tuple(box.get("BBOX_REG_WEIGHTS",
                                        (10.0, 10.0, 5.0, 5.0))),

@@ -83,15 +83,22 @@ def forward_inference(params: dict, images: jnp.ndarray, cfg: ModelConfig,
         cfg.rpn_post_nms_topk_test, cfg.rpn_nms_thresh,
         fast_nms=getattr(cfg, "fast_nms", False))
 
+    # fused Pallas pooler on real TPU (inference only — no VJP); the XLA
+    # formulations serve CPU tests and the training path
+    use_pallas = bool(getattr(cfg, "pallas_pooler", True)) \
+        and jax.default_backend() == "tpu"
+
     box_feats = fpn_feats[:4]  # box/mask pool from P2..P5
     class_logits, box_deltas = box_head_forward(
-        params["box_head"], box_feats, proposals, cfg, dtype)
+        params["box_head"], box_feats, proposals, cfg, dtype,
+        use_pallas=use_pallas)
     dets = inference_detections(class_logits, box_deltas, proposals,
                                 prop_scores, cfg, S)
 
     if with_masks:
         mask_logits = mask_head_forward(params["mask_head"], box_feats,
-                                        dets["boxes"], cfg, dtype)
+                                        dets["boxes"], cfg, dtype,
+                                        use_pallas=use_pallas)
         # select each detection's own class channel
         cls = dets["classes"]
         masks = jnp.take_along_axis(

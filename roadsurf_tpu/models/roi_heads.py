@@ -27,13 +27,14 @@ def _linear(x, p, dtype=jnp.bfloat16):
 
 
 def box_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
-                     cfg, dtype=jnp.bfloat16):
+                     cfg, dtype=jnp.bfloat16, use_pallas: bool = False):
     """boxes (B, R, 4) -> (class_logits (B, R, C+1), deltas (B, R, C, 4))."""
     B, R = boxes.shape[:2]
     pooled = roi_align_multilevel(feats, boxes, cfg.box_pooler_resolution,
                                   sampling=cfg.pooler_sampling_ratio,
                                   canonical_size=cfg.canonical_box_size,
-                                  canonical_level=cfg.canonical_level)
+                                  canonical_level=cfg.canonical_level,
+                                  use_pallas=use_pallas)
     x = pooled.reshape(B * R, -1)
     x = jnp.maximum(_linear(x, params["fc1"], dtype), 0.0)
     x = jnp.maximum(_linear(x, params["fc2"], dtype), 0.0)
@@ -44,13 +45,14 @@ def box_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
 
 
 def mask_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
-                      cfg, dtype=jnp.bfloat16):
+                      cfg, dtype=jnp.bfloat16, use_pallas: bool = False):
     """boxes (B, D, 4) -> per-class mask logits (B, D, 2*res, 2*res, C)."""
     B, D = boxes.shape[:2]
     pooled = roi_align_multilevel(feats, boxes, cfg.mask_pooler_resolution,
                                   sampling=cfg.pooler_sampling_ratio,
                                   canonical_size=cfg.canonical_box_size,
-                                  canonical_level=cfg.canonical_level)
+                                  canonical_level=cfg.canonical_level,
+                                  use_pallas=use_pallas)
     x = pooled.reshape(B * D, cfg.mask_pooler_resolution,
                        cfg.mask_pooler_resolution, -1).astype(dtype)
     for i in range(cfg.mask_num_conv):

@@ -32,6 +32,14 @@ import numpy as np
 # feature maps up to this many pixels use the separable-matmul path
 _MATMUL_PATH_MAX_HW = 160 * 160
 
+# static sample slots for POOLER_SAMPLING_RATIO=0 (adaptive) semantics:
+# per-ROI n = ceil(bin size in cells) is masked into this many slots.
+# The detectron2 CUDA op has no cap; n > 4 only occurs for boxes whose
+# aspect ratio exceeds ~2:1 at their assigned FPN level, where the finer
+# sub-bin average differs negligibly on smooth CNN features (bounded by
+# the parity test tolerance in tests/test_torch_parity.py)
+_ADAPTIVE_MAX = 4
+
 
 def _interp_weights(coord, limit):
     """ROIAlignV2 bilinear weights along one axis.
@@ -65,19 +73,95 @@ def _axis_weight_matrix(lo, bin_size, dim: int, stride: float,
     """Per-ROI interpolation matrix along one axis: (B, R, out_size, dim).
 
     Row p holds the averaged bilinear taps of that bin's ``sampling``
-    half-pixel-aligned sample points (V2 semantics of _interp_weights).
+    half-pixel-aligned sample points. Built in closed form —
+    ``w(d) = Σ_s valid_s · max(0, 1 − |clamp(c_s) − d|) / sampling`` —
+    instead of scattering one-hot tap tensors: the tent function at
+    integer d reproduces _interp_weights exactly (interior taps get
+    (1−frac, frac); border-clamped samples collapse both taps onto the
+    edge index with total weight 1), at 1/sampling·4 of the temporary
+    footprint (the one-hot build was ~40% of the pooler's HBM traffic).
     """
-    S = out_size * sampling
-    u = (jnp.arange(S, dtype=jnp.float32) + 0.5) / sampling
-    coord = (lo[..., None] + u * bin_size[..., None]) / stride - 0.5
-    i_lo, i_hi, w_lo, w_hi, valid = _interp_weights(coord, float(dim))
-    w_lo = jnp.where(valid, w_lo, 0.0)
-    w_hi = jnp.where(valid, w_hi, 0.0)
-    d = jnp.arange(dim, dtype=jnp.int32)
-    m = ((d == i_lo[..., None]) * w_lo[..., None]
-         + (d == i_hi[..., None]) * w_hi[..., None])
+    if sampling == 0:
+        return _axis_weight_matrix_adaptive(lo, bin_size, dim, stride,
+                                            out_size)
     B, R = lo.shape
-    return m.reshape(B, R, out_size, sampling, dim).sum(3) / sampling
+    p = jnp.arange(out_size, dtype=jnp.float32)
+    d = jnp.arange(dim, dtype=jnp.float32)
+    m = jnp.zeros((B, R, out_size, dim), jnp.float32)
+    for s in range(sampling):
+        # (B, R, P): sample coordinate in feature-cell units
+        u = (s + 0.5) / sampling
+        c = (lo[..., None] + (p + u) * bin_size[..., None]) / stride - 0.5
+        valid = (c >= -1.0) & (c <= float(dim))
+        cc = jnp.clip(c, 0.0, float(dim) - 1.0)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(cc[..., None] - d))
+        m = m + jnp.where(valid[..., None], w, 0.0)
+    return m / sampling
+
+
+def _axis_weight_matrix_adaptive(lo, bin_size, dim: int, stride: float,
+                                 out_size: int):
+    """Exact POOLER_SAMPLING_RATIO=0 weights in closed form, uncapped.
+
+    Adaptive sampling places n = ceil(bin cells) uniform samples per bin
+    (spacing δ = bin/n), so the per-cell tent sum
+    ``Σ_i max(0, 1 − |clamp(c_i) − d|)`` sums a piecewise-linear function
+    over an arithmetic progression — each linear segment is a closed-form
+    arithmetic series. No per-sample loop, no cap: matches the detectron2
+    CUDA op for ANY n (a masked-slot scheme would need unbounded static
+    slots for elongated ROIs). Border clamping is a correction on cells 0
+    and dim−1, where valid out-of-range samples (c ∈ [−1, 0) or
+    (dim−1, dim]) collapse onto the edge cell with weight 1.
+    """
+    P = out_size
+    p = jnp.arange(P, dtype=jnp.float32)
+    d = jnp.arange(dim, dtype=jnp.float32)
+
+    bins = bin_size[..., None] / stride                       # (B, R, 1)
+    n = jnp.maximum(jnp.ceil(bins), 1.0)
+    delta_t = bins / n                                        # true spacing
+    delta = jnp.where(delta_t > 0, delta_t, 1.0)              # guarded
+    # c_i = A + (i + 0.5)·delta reproduces the true samples (A absorbs
+    # the guard shift for degenerate zero-size bins)
+    A = (lo[..., None] + p * bin_size[..., None]) / stride - 0.5 \
+        + 0.5 * (delta_t - delta)                             # (B, R, P)
+    A = A[..., None]                                          # (B, R, P, 1)
+    nn = n[..., None]                                         # (B, R, 1, 1)
+    dl = delta[..., None]
+
+    def t(x):
+        # i-coordinate of position x: c_i <= x  <=>  i <= t(x)
+        return (x - A) / dl - 0.5
+
+    def series(i0, i1):
+        """(count, Σ c_i) over integer i ∈ [i0, i1] ∩ [0, n−1]."""
+        i0c = jnp.maximum(i0, 0.0)
+        i1c = jnp.minimum(i1, nn - 1.0)
+        m = jnp.maximum(i1c - i0c + 1.0, 0.0)
+        si = 0.5 * (i0c + i1c) * m                  # Σ i (arith. series)
+        return m, jnp.where(m > 0, m * (A + 0.5 * dl) + dl * si, 0.0)
+
+    # window (d−1, d]: tent rises, sample weight c − (d−1)
+    hi1 = jnp.floor(t(d))
+    m1, s1 = series(jnp.floor(t(d - 1.0)) + 1.0, hi1)
+    part1 = s1 - m1 * (d - 1.0)
+    # window (d, d+1]: tent falls, weight (d+1) − c  (c = d+1 adds 0)
+    m2, s2 = series(hi1 + 1.0, jnp.floor(t(d + 1.0)))
+    part2 = m2 * (d + 1.0) - s2
+
+    # border corrections: replace the unclamped tent of valid samples
+    # beyond the edges with the clamped weight 1
+    mb0, sb0 = series(jnp.ceil(t(-1.0)),                      # c >= -1
+                      jnp.ceil(t(0.0)) - 1.0)                 # c < 0
+    corr0 = mb0 - (sb0 + mb0)                                 # 1 − (1 + c)
+    mbt, sbt = series(jnp.floor(t(dim - 1.0)) + 1.0,          # c > dim−1
+                      jnp.floor(t(float(dim))))               # c <= dim
+    corrt = sbt - mbt * (dim - 1.0)                           # c − (dim−1)
+
+    w = part1 + part2
+    w = w + jnp.where(d == 0.0, corr0, 0.0)
+    w = w + jnp.where(d == float(dim - 1), corrt, 0.0)
+    return w / nn
 
 
 def _roi_align_separable(feats, boxes, lvl, out_size, sampling, min_level,
@@ -104,10 +188,11 @@ def _roi_align_separable(feats, boxes, lvl, out_size, sampling, min_level,
         fs, ys, xs = args
 
         def pool_level(f_b, wy_b, wx_b):
-            t1 = jnp.einsum("rph,hwc->rpwc", wy_b.astype(f_b.dtype), f_b,
-                            preferred_element_type=jnp.float32)
+            # t1 stays in the feature dtype (bf16 on the inference path):
+            # it is the pooler's dominant HBM round-trip
+            t1 = jnp.einsum("rph,hwc->rpwc", wy_b.astype(f_b.dtype), f_b)
             return jnp.einsum("rpwc,rqw->rpqc", t1,
-                              wx_b.astype(jnp.float32),
+                              wx_b.astype(t1.dtype),
                               preferred_element_type=jnp.float32)
 
         acc = pool_level(fs[0], ys[0], xs[0])
@@ -139,8 +224,10 @@ def _roi_align_gather(feats, boxes, lvl, out_size, sampling, min_level,
     Hs = jnp.asarray([h for h, _ in sizes], jnp.float32)
     Ws = jnp.asarray([w for _, w in sizes], jnp.float32)
 
-    S = out_size * sampling
-    u = (jnp.arange(S, dtype=jnp.float32) + 0.5) / sampling  # in bin units
+    smp = sampling if sampling > 0 else _ADAPTIVE_MAX
+    S = out_size * smp
+    pgrid = jnp.repeat(jnp.arange(out_size, dtype=jnp.float32), smp)
+    sgrid = jnp.tile(jnp.arange(smp, dtype=jnp.float32) + 0.5, out_size)
 
     def per_image(flat_i, boxes_i, lvl_i):
         def per_chunk(args):
@@ -152,16 +239,25 @@ def _roi_align_gather(feats, boxes, lvl, out_size, sampling, min_level,
             off = offsets[lv]
             bw = (bxs[:, 2] - bxs[:, 0]) / out_size
             bh = (bxs[:, 3] - bxs[:, 1]) / out_size
-            sx = (bxs[:, 0:1] + u[None, :] * bw[:, None]) / stride[:, None] \
-                - 0.5
-            sy = (bxs[:, 1:2] + u[None, :] * bh[:, None]) / stride[:, None] \
-                - 0.5
+            if sampling > 0:
+                nx = jnp.full_like(bw, float(sampling))
+                ny = jnp.full_like(bh, float(sampling))
+            else:
+                # adaptive: n = ceil(bin cells), masked into smp slots
+                nx = jnp.clip(jnp.ceil(bw / stride), 1.0, float(smp))
+                ny = jnp.clip(jnp.ceil(bh / stride), 1.0, float(smp))
+            ux = pgrid[None, :] + sgrid[None, :] / nx[:, None]   # (K, S)
+            uy = pgrid[None, :] + sgrid[None, :] / ny[:, None]
+            mx = sgrid[None, :] - 0.5 < nx[:, None]
+            my = sgrid[None, :] - 0.5 < ny[:, None]
+            sx = (bxs[:, 0:1] + ux * bw[:, None]) / stride[:, None] - 0.5
+            sy = (bxs[:, 1:2] + uy * bh[:, None]) / stride[:, None] - 0.5
             ix0, ix1, wx0, wx1, vx = _interp_weights(sx, Wl[:, None])
             iy0, iy1, wy0, wy1, vy = _interp_weights(sy, Hl[:, None])
-            wx0 = jnp.where(vx, wx0, 0.0)
-            wx1 = jnp.where(vx, wx1, 0.0)
-            wy0 = jnp.where(vy, wy0, 0.0)
-            wy1 = jnp.where(vy, wy1, 0.0)
+            wx0 = jnp.where(vx & mx, wx0, 0.0)
+            wx1 = jnp.where(vx & mx, wx1, 0.0)
+            wy0 = jnp.where(vy & my, wy0, 0.0)
+            wy1 = jnp.where(vy & my, wy1, 0.0)
             Wi = Wl.astype(jnp.int32)
 
             def corner(iy, wy, ix, wx):
@@ -176,8 +272,9 @@ def _roi_align_gather(feats, boxes, lvl, out_size, sampling, min_level,
             acc = (corner(iy0, wy0, ix0, wx0) + corner(iy0, wy0, ix1, wx1)
                    + corner(iy1, wy1, ix0, wx0) + corner(iy1, wy1, ix1, wx1))
             K = acc.shape[0]
-            acc = acc.reshape(K, out_size, sampling, out_size, sampling, C)
-            return acc.astype(jnp.float32).mean(axis=(2, 4))
+            acc = acc.reshape(K, out_size, smp, out_size, smp, C)
+            return acc.astype(jnp.float32).sum(axis=(2, 4)) \
+                / (ny * nx)[:, None, None, None]
 
         R = boxes_i.shape[0]
         if chunk and R % chunk == 0 and R > chunk:
@@ -191,16 +288,47 @@ def _roi_align_gather(feats, boxes, lvl, out_size, sampling, min_level,
     return jax.vmap(per_image)(flat, boxes, lvl)
 
 
+def reachable_levels(feats: list, canonical_size: int = 224,
+                     canonical_level: int = 4, min_level: int = 2) -> int:
+    """Number of FPN levels a box can actually be assigned to.
+
+    Boxes are clipped to the image, so sqrt(area) <= S and the level
+    assignment (canonical_level + log2(sqrt(area)/canonical_size)) is
+    bounded: at 256px only P2..P4 are reachable — computing P5's masked
+    contribution would be pure waste.
+    """
+    S = feats[0].shape[1] * 2 ** min_level
+    top = int(np.floor(canonical_level
+                       + np.log2(max(S, 1) / canonical_size + 1e-8)))
+    return min(len(feats), max(1, top - min_level + 1))
+
+
 def roi_align_multilevel(feats: list, boxes: jnp.ndarray, out_size: int,
                          sampling: int = 2, canonical_size: int = 224,
                          canonical_level: int = 4, min_level: int = 2,
-                         max_level: int = 5, chunk: int = 0) -> jnp.ndarray:
+                         max_level: int = 5, chunk: int = 0,
+                         use_pallas: bool = False) -> jnp.ndarray:
     """feats: [P2..P5] NHWC tensors; boxes: (B, R, 4) XYXY in image coords.
 
     Returns (B, R, out_size, out_size, C) float32 pooled features.
+    ``sampling=0`` selects POOLER_SAMPLING_RATIO=0 adaptive semantics
+    (per-ROI ceil(bin cells), the reference's pinned configuration).
+    ``use_pallas`` selects the fused TPU kernel (inference path on real
+    TPU; no VJP, so training keeps the XLA formulations).
     """
+    n_lev = reachable_levels(feats, canonical_size, canonical_level,
+                             min_level)
+    feats = list(feats[:n_lev])
+    if use_pallas and sampling > 0 and feats[0].shape[1] * feats[0].shape[2] \
+            <= _MATMUL_PATH_MAX_HW:
+        from .roi_align_pallas import roi_align_fused
+        return roi_align_fused(tuple(feats), boxes, out_size,
+                               sampling=sampling,
+                               canonical_size=canonical_size,
+                               canonical_level=canonical_level,
+                               min_level=min_level)
     lvl = _level_assignment(boxes, canonical_size, canonical_level,
-                            min_level, max_level)
+                            min_level, min_level + n_lev - 1)
     if feats[0].shape[1] * feats[0].shape[2] <= _MATMUL_PATH_MAX_HW:
         return _roi_align_separable(feats, boxes, lvl, out_size, sampling,
                                     min_level)

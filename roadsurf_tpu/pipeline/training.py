@@ -98,11 +98,31 @@ def _close(ring: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # augmentation (host, numpy)
 
+def resize_sample(img, boxes, masks, target: int):
+    """detectron2 ResizeShortestEdge for square tiles: bilinear image
+    resize to target x target, nearest for masks, boxes scaled."""
+    from PIL import Image
+    H, W = img.shape[:2]
+    if H == target and W == target:
+        return img, boxes, masks
+    s = target / H
+    img = np.asarray(Image.fromarray(img).resize((target, target),
+                                                 Image.BILINEAR))
+    if masks.shape[0]:
+        masks = np.stack([np.asarray(
+            Image.fromarray(m * 255).resize((target, target), Image.NEAREST))
+            for m in masks]) // 255
+    else:
+        masks = np.zeros((0, target, target), masks.dtype)
+    return img, (boxes * s).astype(np.float32), masks
+
+
 def augment_sample(rng: np.random.Generator, img, boxes, classes, valid,
-                   masks, scale_range=(0.8, 1.25)):
-    """Random horizontal flip + scale jitter with crop/pad back to the
-    native size. Replaces detectron2's multiscale-resize choice
-    (detectron2_config_3bands.yaml:31-38) with a fixed-shape equivalent."""
+                   masks, scale_range=(0.8, 1.25), target_size=None):
+    """Random horizontal flip, then either the reference's multiscale
+    resize (``target_size`` set — detectron2 MIN_SIZE_TRAIN choice,
+    detectron2_config_3bands.yaml:31-38) or the fixed-shape equivalent
+    (scale jitter with crop/pad back to the native size)."""
     H, W = img.shape[:2]
     # flip
     if rng.random() < 0.5:
@@ -112,6 +132,9 @@ def augment_sample(rng: np.random.Generator, img, boxes, classes, valid,
         flipped[:, 0] = W - boxes[:, 2]
         flipped[:, 2] = W - boxes[:, 0]
         boxes = flipped
+    if target_size is not None:
+        img, boxes, masks = resize_sample(img, boxes, masks, target_size)
+        return img, boxes, classes, valid, masks
     # scale jitter
     s = rng.uniform(*scale_range)
     if abs(s - 1.0) > 1e-3:
@@ -147,12 +170,17 @@ def augment_sample(rng: np.random.Generator, img, boxes, classes, valid,
 # batching + prefetch
 
 def make_batch(ds: CocoTileDataset, rng: np.random.Generator,
-               indices: np.ndarray, augment: bool = True) -> dict:
+               indices: np.ndarray, augment: bool = True,
+               target_size: int | None = None) -> dict:
     imgs, bs, cs, vs, ms = [], [], [], [], []
     for i in indices:
         sample = ds.load(int(i))
         if augment:
-            sample = augment_sample(rng, *sample)
+            sample = augment_sample(rng, *sample, target_size=target_size)
+        elif target_size is not None:
+            img, b, c, v, m = sample
+            img, b, m = resize_sample(img, b, m, target_size)
+            sample = (img, b, c, v, m)
         img, b, c, v, m = sample
         imgs.append(img)
         bs.append(b)
@@ -168,10 +196,12 @@ class Prefetcher:
     """Background-thread batch producer (double-buffered host feed)."""
 
     def __init__(self, ds: CocoTileDataset, batch_size: int, seed: int = 0,
-                 depth: int = 2, augment: bool = True):
+                 depth: int = 2, augment: bool = True,
+                 sizes: tuple | None = None):
         self.ds = ds
         self.batch_size = batch_size
         self.augment = augment
+        self.sizes = sizes        # multiscale: one random size per batch
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self.rng = np.random.default_rng(seed)
         self.stop = threading.Event()
@@ -195,8 +225,10 @@ class Prefetcher:
                     pos = 0
                 idx.append(order[pos])
                 pos += 1
+            target = (int(self.rng.choice(self.sizes))
+                      if self.sizes else None)
             batch = make_batch(self.ds, self.rng, np.asarray(idx),
-                               self.augment)
+                               self.augment, target_size=target)
             while not self.stop.is_set():
                 try:
                     self.q.put(batch, timeout=0.5)
@@ -222,8 +254,16 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
           max_iter: int | None = None, batch_size: int | None = None,
           image_size: int = 256, max_instances: int = 16,
           init_checkpoint: str | None = None, log_every: int = 20,
-          mesh=None, seed: int = 7) -> dict:
-    """Run the training loop; returns the final train state (host)."""
+          mesh=None, seed: int = 7, multiscale: bool = False) -> dict:
+    """Run the training loop; returns the final train state (host).
+
+    ``multiscale=True`` reproduces the reference's MIN_SIZE_TRAIN
+    multiscale-choice augmentation (detectron2_config_3bands.yaml:31-38):
+    each batch is resized to one of ``cfg.min_size_train`` and runs
+    through a per-size jitted step (a handful of compile shapes — the
+    TPU-shaped equivalent of detectron2's variable-size loader). The
+    default keeps the single-shape flip + scale-jitter-crop pipeline.
+    """
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -261,25 +301,38 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
             jax.device_get(state["params"]), loaded)
         logger.info(f"warm start from {init_checkpoint}")
 
-    step_fn = make_train_step(cfg, image_size, seed=seed)
+    sizes = tuple(cfg.min_size_train) if multiscale else (image_size,)
+
+    def make_jitted(sz):
+        fn = make_train_step(cfg, sz, seed=seed)
+        if mesh is not None:
+            return jax.jit(fn,
+                           in_shardings=(NamedSharding(mesh, P()),
+                                         NamedSharding(mesh, P("data"))),
+                           out_shardings=(NamedSharding(mesh, P()), None))
+        return jax.jit(fn)
+
+    step_fns = {}           # image size -> jitted step (compiled lazily)
+
+    def step_for(sz):
+        if sz not in step_fns:
+            step_fns[sz] = make_jitted(sz)
+        return step_fns[sz]
+
     if mesh is not None:
         state = jax.device_put(state, NamedSharding(mesh, P()))
         batch_sharding = NamedSharding(mesh, P("data"))
-        step_fn = jax.jit(step_fn,
-                          in_shardings=(NamedSharding(mesh, P()),
-                                        batch_sharding),
-                          out_shardings=(NamedSharding(mesh, P()), None))
     else:
-        step_fn = jax.jit(step_fn)
         batch_sharding = None
 
-    feeder = Prefetcher(ds, batch_size, seed=seed)
+    feeder = Prefetcher(ds, batch_size, seed=seed,
+                        sizes=sizes if multiscale else None)
     val_feeder = None
     if val_coco and os.path.exists(val_coco):
         val_ds = CocoTileDataset(val_coco, val_images, max_instances)
         if len(val_ds):
             val_feeder = Prefetcher(val_ds, batch_size, seed=99,
-                                    augment=False)
+                                    augment=False, sizes=(image_size,))
 
     metrics_path = os.path.join(log_dir, "metrics.jsonl")
     mf = open(metrics_path, "a")
@@ -353,7 +406,7 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
             if batch_sharding is not None:
                 batch = {k: jax.device_put(v, batch_sharding)
                          for k, v in batch.items()}
-            state, metrics = step_fn(state, batch)
+            state, metrics = step_for(batch["image"].shape[1])(state, batch)
 
             if (it + 1) % log_every == 0 or it == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
@@ -427,8 +480,18 @@ def run(cfg: dict, max_iter: int | None = None,
     mesh = Mesh(np.asarray(devices[:n]).reshape(n), axis_names=("data",)) \
         if n > 1 else None
 
+    # the reference's multiscale-resize augmentation is on whenever the
+    # detectron2 YAML pins more than one MIN_SIZE_TRAIN choice; a
+    # ``multiscale: false`` block entry opts into the single-shape
+    # jitter-crop pipeline instead
+    multiscale = bool(cfg.get("multiscale",
+                              len(set(model_cfg.min_size_train)) > 1))
+    image_size = int(cfg.get("image_size",
+                             model_cfg.min_size_train[-1] if multiscale
+                             else 256))
     return train(model_cfg, trn, os.path.join(wd, "trn-images"), log_dir,
                  val_coco=val, val_images=os.path.join(wd, "val-images"),
                  max_iter=max_iter, batch_size=batch_size,
-                 init_checkpoint=init_ckpt, mesh=mesh,
-                 seed=int(cfg.get("seed", 7)))
+                 image_size=image_size, init_checkpoint=init_ckpt,
+                 mesh=mesh, seed=int(cfg.get("seed", 7)),
+                 multiscale=multiscale)

@@ -41,16 +41,54 @@ from roadsurf_tpu.tiles.grid import WebMercatorQuad
 from roadsurf_tpu.utils.logging import logger
 
 
-def make_opener(roads_3857):
+def make_opener(roads_3857, hard: bool = True):
     """Synthetic orthophoto service: renders the road polygons into each
-    requested tile (asphalt vs dirt over green noise)."""
+    requested tile.
+
+    ``hard`` mode is deliberately adversarial so the chain produces a
+    NON-saturated F1 that regressions can move (a pure color classifier
+    scores ~1.0 on the easy palette):
+
+    * overlapping color distributions — 30% of artificial roads are
+      "weathered" into the natural browns and 30% of natural roads are
+      "compacted" into the artificial grays; texture carries the signal
+      (asphalt: smooth low-sigma noise; gravel/dirt: coarse blotchy
+      speckle rendered at 4px granularity);
+    * background confusers — gray building slabs and brown field patches
+      sharing the road palettes;
+    * occlusion — dark-green tree blobs cover ~10% of road pixels.
+
+    Per-road appearance is seeded by the road's OBJECTID and per-tile
+    noise by (x, y), so tiles are deterministic across runs.
+    """
     from PIL import Image
 
     by_cat = {}
-    for cat, color in (("artificial", (90, 90, 95)),
-                       ("natural", (150, 110, 60))):
+    for cat in ("artificial", "natural"):
         sel = roads_3857[roads_3857["CATEGORY"] == cat]
-        by_cat[cat] = (list(sel.geometry.values), color)
+        by_cat[cat] = list(zip(sel["OBJECTID"].values,
+                               sel.geometry.values))
+
+    def road_color(cat, objectid):
+        r = np.random.default_rng(int(objectid) * 2654435761 % (2 ** 31))
+        if not hard:
+            return (np.asarray((90, 90, 95)) if cat == "artificial"
+                    else np.asarray((150, 110, 60))), 8, r
+        crossed = r.random() < 0.30
+        asphalt = (cat == "artificial") != crossed
+        if asphalt:
+            g = r.uniform(85, 130)
+            base = np.asarray([g, g * r.uniform(0.96, 1.0),
+                               g * r.uniform(0.92, 1.02)])
+        else:
+            b = r.uniform(95, 150)
+            base = np.asarray([b, b * r.uniform(0.78, 0.9),
+                               b * r.uniform(0.5, 0.68)])
+        # texture follows the TRUE class, not the worn color: smooth
+        # asphalt-like for artificial, coarse speckle for natural
+        sigma = r.uniform(3, 6) if cat == "artificial" \
+            else r.uniform(18, 30)
+        return base, sigma, r
 
     def opener(url):
         import re
@@ -65,16 +103,49 @@ def make_opener(roads_3857):
                         rng.integers(90, 140, (256, 256)),
                         rng.integers(40, 80, (256, 256))],
                        axis=2).astype(np.uint8)
-        for cat, (geoms, color) in by_cat.items():
-            for g in geoms:
+        if hard:
+            # background confusers: gray slabs + brown patches
+            for _ in range(rng.integers(2, 6)):
+                cx, cy = rng.integers(0, 256, 2)
+                hw, hh = rng.integers(8, 40, 2)
+                gray = rng.random() < 0.5
+                tone = rng.uniform(90, 130)
+                col = (np.asarray([tone, tone, tone * 1.02]) if gray
+                       else np.asarray([tone * 1.1, tone * 0.85,
+                                        tone * 0.55]))
+                sl = (slice(max(cy - hh, 0), min(cy + hh, 256)),
+                      slice(max(cx - hw, 0), min(cx + hw, 256)))
+                img[sl] = np.clip(
+                    col + rng.integers(-6, 6, (1, 1, 3)), 0,
+                    255).astype(np.uint8)
+        for cat, entries in by_cat.items():
+            for objectid, g in entries:
                 gw, gs, ge, gn = g.bounds
                 if ge < w or gw > e or gn < s or gs > n:
                     continue
                 mask = N.rasterize(g._flat(), w, sx, n, -sx, 256, 256)
-                tex = rng.integers(-10, 10, (256, 256, 1))
-                img = np.where(mask[:, :, None].astype(bool),
-                               np.clip(np.asarray(color) + tex, 0,
-                                       255).astype(np.uint8), img)
+                base, sigma, r = road_color(cat, objectid)
+                if hard and cat == "natural":
+                    # coarse blotchy speckle at 4px granularity
+                    coarse = r.normal(0, sigma, (64, 64, 1))
+                    tex = np.repeat(np.repeat(coarse, 4, 0), 4, 1)
+                    tex = tex + r.normal(0, 6, (256, 256, 1))
+                else:
+                    tex = r.normal(0, sigma, (256, 256, 1))
+                paint = np.clip(base + tex, 0, 255).astype(np.uint8)
+                img = np.where(mask[:, :, None].astype(bool), paint, img)
+        if hard:
+            # tree occluders over everything
+            yy, xx = np.mgrid[0:256, 0:256]
+            for _ in range(rng.integers(6, 14)):
+                cx, cy = rng.integers(0, 256, 2)
+                rad = rng.integers(4, 12)
+                blob = (xx - cx) ** 2 + (yy - cy) ** 2 <= rad ** 2
+                col = np.asarray([rng.integers(25, 45),
+                                  rng.integers(60, 95),
+                                  rng.integers(25, 45)])
+                img = np.where(blob[:, :, None], col[None, None, :],
+                               img).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, format="PNG")
         return buf.getvalue()
@@ -119,7 +190,7 @@ def main():
     logger.info("=== 3/5 from-scratch training ===")
     from roadsurf_tpu.models.config import fast_profile
     model_cfg = replace(
-        fast_profile(post_nms_topk=128, detections_per_image=8),
+        fast_profile(),
         pixel_std=(57.375, 57.12, 58.395),   # from-scratch normalization
         freeze_at=0, base_lr=0.005, warmup_iters=100,
         roi_batch_per_image=128, rpn_batch_per_image=64,
@@ -136,19 +207,39 @@ def main():
     ckpt = latest_checkpoint("outputs/obj_detector/logs")
     det_cfg["model_weights"] = {
         "pth_file": os.path.relpath(ckpt, "outputs/obj_detector")}
-    detections.run(det_cfg, model_cfg=model_cfg, batch_size=16)
 
-    logger.info("=== 5/5 determine_class + final_metrics ===")
-    evaluate.run(cfg["final_metrics.py"])
-
+    # profile ablation (same weights, same 256px tiles): the deployment
+    # fast profile (approx top-k, sweep NMS, 64 proposals, 8 det/tile)
+    # vs exact inference (exact greedy NMS, full proposal/detection
+    # budget of the reference: 1000 proposals, 100 det/tile)
     import pandas as pd
-    gm = pd.read_csv("outputs/final/tables/global metrics.csv")
-    line = gm[gm["dataset"] == "all datasets"].iloc[0]
+    exact_cfg = replace(model_cfg, fast_nms=False,
+                        rpn_pre_nms_topk_test=1000,
+                        rpn_post_nms_topk_test=1000,
+                        detections_per_image=100)
+
+    def run_profile(tag, mcfg):
+        logger.info(f"=== detections + metrics [{tag}] ===")
+        detections.run(det_cfg, model_cfg=mcfg, batch_size=16)
+        evaluate.run(cfg["final_metrics.py"])
+        gm = pd.read_csv("outputs/final/tables/global metrics.csv")
+        line = gm[gm["dataset"] == "all datasets"].iloc[0]
+        return {
+            "balanced_f1_all": float(line["f1b"]),
+            "balanced_precision": float(line["Pb"]),
+            "balanced_recall": float(line["Rb"]),
+            "baseline_f1": float(
+                gm[gm["dataset"] == "baseline"].iloc[0]["f1b"]),
+        }
+
+    fast_metrics = run_profile("fast profile", model_cfg)
+    exact_metrics = run_profile("exact profile", exact_cfg)
     print(json.dumps({
-        "balanced_f1_all": float(line["f1b"]),
-        "balanced_precision": float(line["Pb"]),
-        "balanced_recall": float(line["Rb"]),
-        "baseline_f1": float(gm[gm["dataset"] == "baseline"].iloc[0]["f1b"]),
+        "fast": fast_metrics,
+        "exact": exact_metrics,
+        "f1_delta_fast_vs_exact": round(
+            fast_metrics["balanced_f1_all"]
+            - exact_metrics["balanced_f1_all"], 4),
         "elapsed_s": round(time() - tic, 1),
     }))
 

@@ -13,8 +13,13 @@ import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_timeout_seconds" not in flags:
+    # 8 virtual devices time-share the host CPUs; under load the default
+    # collective-rendezvous timeout can fire and ABORT the process
+    # ("Exiting to ensure a consistent program state")
+    flags = (flags + " --xla_cpu_collective_timeout_seconds=1200").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

@@ -48,19 +48,25 @@ def test_box_iou():
 
 
 def _np_roi_align_single(feat, box, out, sampling, stride):
-    """Independent numpy ROIAlignV2 reference (aligned=True)."""
+    """Independent numpy ROIAlignV2 reference (aligned=True).
+
+    ``sampling=0`` reproduces POOLER_SAMPLING_RATIO=0 (adaptive): the
+    per-axis sample count is ceil(bin size in feature cells), exactly the
+    detectron2/torchvision CUDA-op rule."""
     H, W, C = feat.shape
     x0, y0, x1, y1 = box
     bw = (x1 - x0) / out
     bh = (y1 - y0) / out
+    ny = sampling if sampling > 0 else max(int(np.ceil(bh / stride)), 1)
+    nx = sampling if sampling > 0 else max(int(np.ceil(bw / stride)), 1)
     res = np.zeros((out, out, C))
     for p in range(out):
         for q in range(out):
             acc = np.zeros(C)
-            for sy in range(sampling):
-                for sx in range(sampling):
-                    y = (y0 + (p + (sy + 0.5) / sampling) * bh) / stride - 0.5
-                    x = (x0 + (q + (sx + 0.5) / sampling) * bw) / stride - 0.5
+            for sy in range(ny):
+                for sx in range(nx):
+                    y = (y0 + (p + (sy + 0.5) / ny) * bh) / stride - 0.5
+                    x = (x0 + (q + (sx + 0.5) / nx) * bw) / stride - 0.5
                     if y < -1 or y > H or x < -1 or x > W:
                         continue
                     y = min(max(y, 0), H - 1)
@@ -72,7 +78,7 @@ def _np_roi_align_single(feat, box, out, sampling, stride):
                             + (1 - wy1) * wx1 * feat[y0i, x1i]
                             + wy1 * (1 - wx1) * feat[y1i, x0i]
                             + wy1 * wx1 * feat[y1i, x1i])
-            res[p, q] = acc / (sampling * sampling)
+            res[p, q] = acc / (ny * nx)
     return res
 
 
@@ -191,3 +197,74 @@ def test_nms_pallas_fallback_matches():
                                                         30))(
         jnp.asarray(b), jnp.asarray(s), jnp.asarray(l))
     np.testing.assert_array_equal(np.asarray(o[1]), np.asarray(ref[1]))
+
+
+def test_roi_align_pallas_matches_xla():
+    """The fused Pallas pooler (interpret mode) matches the XLA separable
+    path within bf16 tolerance. Kept at small geometry: interpret-mode
+    compile cost scales with the kernel's unrolled relayout copies. The
+    full 256px multi-level box/mask geometries run compiled on real TPU
+    via bench.py and the e2e quality chain."""
+    from roadsurf_tpu.ops.roi_align_pallas import roi_align_fused
+
+    rng = np.random.default_rng(5)
+    B, R, C, S = 2, 8, 8, 64
+    feats = [jnp.asarray(rng.normal(size=(B, S // st, S // st, C)),
+                         jnp.bfloat16) for st in (4, 8, 16)]
+    x0 = rng.uniform(0, 50, (B, R))
+    y0 = rng.uniform(0, 50, (B, R))
+    w = rng.uniform(4, 40, (B, R))
+    h = rng.uniform(4, 40, (B, R))
+    boxes = jnp.asarray(np.stack(
+        [x0, y0, np.minimum(x0 + w, S), np.minimum(y0 + h, S)], -1),
+        jnp.float32)
+
+    ref = np.asarray(roi_align_multilevel(list(feats), boxes, 7,
+                                          sampling=2))
+    got = np.asarray(roi_align_fused(tuple(feats), boxes, 7,
+                                     interpret=True))
+    assert got.shape == (B, R, 7, 7, C)
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+
+
+def test_roi_align_adaptive_sampling_matches_numpy():
+    """POOLER_SAMPLING_RATIO=0 (per-ROI adaptive ceil sampling — the
+    reference's pinned CUDA-op config, detectron2_config_3bands.yaml:174)
+    against the independent numpy oracle, on both XLA paths. Boxes hit
+    n = 1, 2, 3 and 4 sample slots per axis."""
+    from roadsurf_tpu.ops.roi_align import (_roi_align_gather,
+                                            _roi_align_separable)
+
+    rng = np.random.default_rng(7)
+    H = W = 40
+    feat = rng.normal(size=(1, H, W, 8)).astype(np.float32)
+    boxes = np.array([[4.0, 6.0, 7.0, 9.1],      # ~0.45 cells -> n=1
+                      [2.0, 2.0, 14.0, 12.5],    # ~1.7 cells  -> n=2
+                      [1.0, 3.0, 20.0, 23.8],    # ~2.8 cells  -> n=3
+                      [0.5, 0.5, 28.0, 26.0]],   # ~3.9 cells  -> n=4
+                     np.float32)
+    refs = np.stack([_np_roi_align_single(feat[0], b, 7, 0, 1.0)
+                     for b in boxes])
+
+    feats = [jnp.asarray(feat)] * 4
+    lvl = jnp.zeros((1, 4), jnp.int32)
+    out_sep = np.asarray(_roi_align_separable(
+        feats, jnp.asarray(boxes[None]), lvl, 7, 0, min_level=0))[0]
+    np.testing.assert_allclose(out_sep, refs, atol=2e-4)
+    out_g = np.asarray(_roi_align_gather(
+        feats, jnp.asarray(boxes[None]), lvl, 7, 0, min_level=0))[0]
+    np.testing.assert_allclose(out_g, refs, atol=2e-4)
+
+    # the separable closed-form series is exact for ANY n — elongated
+    # boxes (n=10 x-samples), border overhang (negative x0), degenerate
+    # zero-width padding rows must all match the per-sample oracle
+    hard = np.array([[1.0, 2.0, 70.9, 8.0],     # n_x=10, n_y=1
+                     [-3.0, -2.5, 12.0, 39.9],  # clamped at borders
+                     [5.0, 5.0, 5.0, 25.0],     # zero-width
+                     [0.0, 35.0, 39.5, 45.0]],  # overhang past dim
+                    np.float32)
+    refs_h = np.stack([_np_roi_align_single(feat[0], b, 7, 0, 1.0)
+                       for b in hard])
+    out_h = np.asarray(_roi_align_separable(
+        feats, jnp.asarray(hard[None]), lvl, 7, 0, min_level=0))[0]
+    np.testing.assert_allclose(out_h, refs_h, atol=5e-4)

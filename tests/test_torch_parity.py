@@ -327,3 +327,39 @@ def test_full_model_forward_parity(tmp_path):
     np.testing.assert_allclose(np.asarray(masks[0])[dvalid],
                                out_t["mask_logits"], atol=0.1, rtol=1e-2,
                                err_msg="mask logits")
+
+
+@needs_torchvision
+def test_roi_align_adaptive_sampling_matches_torchvision():
+    """POOLER_SAMPLING_RATIO=0 (per-ROI adaptive ceil sampling, the
+    reference's pinned CUDA-op config, detectron2_config_3bands.yaml:174)
+    vs torchvision.ops.roi_align(sampling_ratio=0).
+
+    Boxes chosen so the adaptive counts hit 1, 2, 3 and 4 sample slots
+    per axis (bins of ~0.5..4 cells at stride 1)."""
+    rng = np.random.default_rng(1)
+    H = W = 40
+    feat = rng.normal(size=(1, H, W, 8)).astype(np.float32)
+    boxes = np.array([[4.0, 6.0, 7.0, 9.1],      # ~0.45 cells -> n=1
+                      [2.0, 2.0, 14.0, 12.5],    # ~1.7 cells  -> n=2
+                      [1.0, 3.0, 20.0, 23.8],    # ~2.8 cells  -> n=3
+                      [0.5, 0.5, 28.0, 26.0]],   # ~3.9 cells  -> n=4
+                     np.float32)
+
+    t_feat = torch.from_numpy(feat.transpose(0, 3, 1, 2))
+    rois = torch.from_numpy(
+        np.concatenate([np.zeros((4, 1), np.float32), boxes], 1))
+    ref = torchvision.ops.roi_align(t_feat, rois, output_size=7,
+                                    spatial_scale=1.0, sampling_ratio=0,
+                                    aligned=True)
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+
+    from roadsurf_tpu.ops.roi_align import _roi_align_separable
+    feats = [jnp.asarray(feat)] * 4
+    lvl = jnp.zeros((1, 4), jnp.int32)
+    out_sep = np.asarray(_roi_align_separable(
+        feats, jnp.asarray(boxes[None]), lvl, 7, 0, min_level=0))[0]
+    np.testing.assert_allclose(out_sep, ref, atol=2e-4)
+    out_g = np.asarray(_roi_align_gather(
+        feats, jnp.asarray(boxes[None]), lvl, 7, 0, min_level=0))[0]
+    np.testing.assert_allclose(out_g, ref, atol=2e-4)

@@ -124,16 +124,40 @@ def roi_align(feat, boxes, out_size, spatial_scale, sampling_ratio=2,
     """ROIAlignV2 transcribed from the published op semantics (half-pixel
     alignment, samples outside [-1, size] dropped, taps clamped at the
     border, sample average per bin).  feat (1, C, H, W); boxes (K, 4) in
-    image coordinates.  Returns (K, C, out_size, out_size)."""
+    image coordinates.  Returns (K, C, out_size, out_size).
+
+    ``sampling_ratio=0`` follows the adaptive rule of the CUDA op: the
+    per-axis count is ceil(bin size in feature cells), per ROI."""
+    if sampling_ratio == 0:
+        outs = []
+        P = out_size
+        for k in range(boxes.shape[0]):
+            b1 = boxes[k:k + 1] * spatial_scale
+            ny = max(int(math.ceil(float(b1[0, 3] - b1[0, 1]) / P)), 1)
+            nx = max(int(math.ceil(float(b1[0, 2] - b1[0, 0]) / P)), 1)
+            outs.append(_roi_align_fixed(feat, boxes[k:k + 1], out_size,
+                                         spatial_scale, ny, nx, aligned))
+        return torch.cat(outs, dim=0)
+    return _roi_align_fixed(feat, boxes, out_size, spatial_scale,
+                            sampling_ratio, sampling_ratio, aligned)
+
+
+def _roi_align_fixed(feat, boxes, out_size, spatial_scale, sy_n, sx_n,
+                     aligned=True):
     C, H, W = feat.shape[1:]
     off = 0.5 if aligned else 0.0
     b = boxes * spatial_scale - off
-    P, s = out_size, sampling_ratio
+    P = out_size
     bw = (b[:, 2] - b[:, 0]) / P
     bh = (b[:, 3] - b[:, 1]) / P
-    u = (torch.arange(P * s, dtype=torch.float32) + 0.5) / s   # bin units
-    sx = b[:, 0:1] + u[None] * bw[:, None]                     # (K, P*s)
-    sy = b[:, 1:2] + u[None] * bh[:, None]
+    ux = (torch.arange(P * sx_n, dtype=torch.float32) % sx_n + 0.5) / sx_n \
+        + torch.arange(P * sx_n, dtype=torch.float32).div(sx_n,
+                                                          rounding_mode="floor")
+    uy = (torch.arange(P * sy_n, dtype=torch.float32) % sy_n + 0.5) / sy_n \
+        + torch.arange(P * sy_n, dtype=torch.float32).div(sy_n,
+                                                          rounding_mode="floor")
+    sx = b[:, 0:1] + ux[None] * bw[:, None]                    # (K, P*sx_n)
+    sy = b[:, 1:2] + uy[None] * bh[:, None]
 
     def taps(c, size):
         valid = (c >= -1.0) & (c <= float(size))
@@ -157,7 +181,7 @@ def roi_align(feat, boxes, out_size, spatial_scale, sampling_ratio=2,
     acc = (corner(iy0, wy0, ix0, wx0) + corner(iy0, wy0, ix1, wx1)
            + corner(iy1, wy1, ix0, wx0) + corner(iy1, wy1, ix1, wx1))
     K = boxes.shape[0]
-    acc = acc.reshape(C, K, P, s, P, s).mean(dim=(3, 5))
+    acc = acc.reshape(C, K, P, sy_n, P, sx_n).mean(dim=(3, 5))
     return acc.permute(1, 0, 2, 3)
 
 
@@ -245,7 +269,7 @@ def assign_levels(boxes, canonical_size=224, canonical_level=4):
     return lvl.clamp(2, 5).to(torch.int64) - 2
 
 
-def multilevel_roi_align(fpn4, boxes, out_size, sampling=2):
+def multilevel_roi_align(fpn4, boxes, out_size, sampling=0):
     """Naive roi_align over P2..P5 with canonical level assignment."""
     lvl = assign_levels(boxes)
     out = boxes.new_zeros(boxes.shape[0], fpn4[0].shape[1],
