@@ -44,13 +44,29 @@ def main():
         batch = int(os.environ.get("BENCH_BATCH", "16"))
         steps = int(os.environ.get("BENCH_STEPS", "3"))
     else:
-        cfg = fast_profile()
+        # deployment defaults: 32 post-NMS proposals and the static-int8
+        # backbone — both quality-validated on the adversarial dense
+        # synthetic AOI (scripts/ablate_fast_profile.py: R32+int8 0.891,
+        # int8 0.775, fast-R64 0.775, exact 0.897; noise band ~±0.06)
+        cfg = fast_profile(
+            post_nms_topk=int(os.environ.get("BENCH_TOPK", "32")))
         batch = int(os.environ.get("BENCH_BATCH", "512"))
         steps = int(os.environ.get("BENCH_STEPS", "5"))
 
     params = init_params(jax.random.PRNGKey(0), cfg)
     dev = jax.devices()[0]
     params = jax.device_put(params, dev)
+
+    if os.environ.get("BENCH_INT8", "1") == "1" and profile != "parity":
+        # static-int8 backbone (models/quant.py): calibrate on one batch
+        from dataclasses import replace
+        from roadsurf_tpu.models.quant import prepare_int8_params
+        cal = np.random.default_rng(1).integers(
+            0, 255, (8, 256, 256, 3), dtype=np.uint8)
+        params["backbone_q"] = jax.device_put(
+            prepare_int8_params(params, cal, cfg), dev)
+        cfg = replace(cfg, int8_backbone=True)
+
     fn = jax.jit(make_inference_fn(cfg, with_masks=True))
 
     rng = np.random.default_rng(0)

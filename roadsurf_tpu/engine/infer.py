@@ -52,10 +52,17 @@ class TileInferenceEngine:
                                             mask_format=mask_format))
         self.tiles_seen = 0
         self.elapsed = 0.0
+        # per-stage wall clock (h2d = upload wait, d2h = result fetch wait;
+        # device compute hides inside the in-flight window)
+        self.stats = {"h2d_s": 0.0, "d2h_s": 0.0}
 
     def _put(self, images: np.ndarray):
         import jax
-        return jax.device_put(images, self._batch_sharding)
+        t0 = time.perf_counter()
+        out = jax.device_put(images, self._batch_sharding)
+        out.block_until_ready()
+        self.stats["h2d_s"] += time.perf_counter() - t0
+        return out
 
     def run(self, image_iter):
         """Consume an iterator of (B', H, W, 3) uint8 arrays (B' ≤ batch
@@ -68,7 +75,9 @@ class TileInferenceEngine:
 
         def drain_one():
             out, n = queue.popleft()
+            t1 = time.perf_counter()
             host = {k: np.asarray(v)[:n] for k, v in out.items()}
+            self.stats["d2h_s"] += time.perf_counter() - t1
             self.tiles_seen += n
             return host
 
@@ -86,5 +95,8 @@ class TileInferenceEngine:
             yield drain_one()
         self.elapsed += time.perf_counter() - t0
         if self.elapsed > 0 and self.tiles_seen:
-            logger.info(f"inference engine: {self.tiles_seen} tiles at "
-                        f"{self.tiles_seen / self.elapsed:.1f} tiles/s")
+            logger.info(
+                f"inference engine: {self.tiles_seen} tiles at "
+                f"{self.tiles_seen / self.elapsed:.1f} tiles/s "
+                f"(h2d wait {self.stats['h2d_s']:.1f}s, d2h wait "
+                f"{self.stats['d2h_s']:.1f}s of {self.elapsed:.1f}s)")

@@ -95,6 +95,11 @@ class ModelConfig:
     # fused Pallas RoIAlign kernel for inference pooling on real TPU
     # (ops/roi_align_pallas.py); CPU/training keep the XLA formulations
     pallas_pooler: bool = True
+    # static-int8 backbone inference (models/quant.py): requires
+    # calibrated params["backbone_q"] (prepare_int8_params); 2x MXU rate
+    # on v5e for the ResNet convs. Off by default — opt-in deployment
+    # knob, quality-guarded by the e2e synthetic chain
+    int8_backbone: bool = False
 
     @property
     def fpn_strides(self) -> tuple:
@@ -122,6 +127,24 @@ def fast_profile(cfg: ModelConfig | None = None, *,
                    detections_per_image=detections_per_image,
                    pooler_sampling_ratio=2,
                    fast_nms=True)
+
+
+def dense_profile(cfg: ModelConfig | None = None) -> ModelConfig:
+    """Crowded-scene deployment profile: restores enough proposal budget
+    (pre-NMS 1024, 256 proposals, 16 detections, exact greedy NMS) to
+    match the exact/full-budget profile's balanced F1 on the adversarial
+    dense synthetic AOI (scripts/ablate_fast_profile.py: 0.897 == exact,
+    where the fast profile measures 0.775-0.83), at ~40-45% of the fast
+    profile's throughput. Use when tiles are expected to hold many
+    instances; the fast profile is the sparse-scene default."""
+    cfg = cfg or ModelConfig()
+    return replace(cfg,
+                   min_size_test=256, max_size_test=256,
+                   rpn_pre_nms_topk_test=1024,
+                   rpn_post_nms_topk_test=256,
+                   detections_per_image=16,
+                   pooler_sampling_ratio=2,
+                   fast_nms=False)
 
 
 def from_detectron2_yaml(path: str, num_classes: int = 2) -> ModelConfig:

@@ -58,7 +58,11 @@ def preprocess(images: jnp.ndarray, cfg: ModelConfig,
 
 
 def forward_features(params, x, cfg, dtype):
-    feats = resnet_forward(params["backbone"], x, dtype)
+    if getattr(cfg, "int8_backbone", False) and "backbone_q" in params:
+        from .quant import resnet_forward_int8
+        feats = resnet_forward_int8(params["backbone_q"], x)
+    else:
+        feats = resnet_forward(params["backbone"], x, dtype)
     return fpn_forward(params["fpn"], feats, dtype)
 
 

@@ -127,11 +127,16 @@ def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype):
     return kernel
 
 
-def pick_rb(R: int) -> int:
-    for rb in (64, 32, 16, 8, 4, 2):
-        if R % rb == 0:
+def pick_rb(R: int, P: int = 7) -> int:
+    # Mosaic block constraint: the (1, RB, P*P*C) out block needs RB % 8
+    # == 0 (sublane divisibility); callers pad R so a valid RB exists.
+    # Cap P*RB so the in-kernel working set (acc, t1, t1t, out all scale
+    # with RB; several scale with P or P^2) stays inside VMEM.
+    cap = max(8, 448 // P)
+    for rb in (64, 32, 16, 8):
+        if rb <= cap and R % rb == 0:
             return rb
-    return 1
+    return 0
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -151,7 +156,14 @@ def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
     B, R = boxes.shape[:2]
     P = out_size
     C = feats[0].shape[-1]
-    RB = pick_rb(R)
+    R_in = R
+    if pick_rb(R, P) == 0:
+        # pad the ROI axis to a blockable count (degenerate zero boxes
+        # pool to zeros and are sliced off below)
+        R = ((R + 31) // 32) * 32
+        boxes = jnp.concatenate(
+            [boxes, jnp.zeros((B, R - R_in, 4), boxes.dtype)], axis=1)
+    RB = pick_rb(R, P)
     nj = R // RB
     sizes = tuple((f.shape[1], f.shape[2]) for f in feats)
     strides = tuple(float(2 ** (min_level + i)) for i in range(len(feats)))
@@ -205,4 +217,4 @@ def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(cols, *feats)
-    return out.reshape(B, R, P, P, C)
+    return out.reshape(B, R, P, P, C)[:, :R_in]

@@ -83,6 +83,17 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
     """
     from ..engine.infer import TileInferenceEngine
 
+    if getattr(cfg, "int8_backbone", False) and "backbone_q" not in params \
+            and image_paths:
+        # calibrate the static-int8 backbone on the first few real tiles
+        from ..models.quant import prepare_int8_params
+        cal = np.stack([read_geotiff(p).data[:, :, :3]
+                        for p in image_paths[:8]])
+        params = dict(params)
+        params["backbone_q"] = prepare_int8_params(params, cal, cfg)
+        logger.info("int8 backbone: calibrated on "
+                    f"{len(cal)} tiles")
+
     engine = TileInferenceEngine(params, cfg, batch_size=batch_size,
                                  with_masks=True, mask_format="u8")
     records = []
@@ -90,19 +101,32 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
 
     import concurrent.futures as cf
 
+    stage_s = {"decode": 0.0, "vectorize": 0.0}
+
     def batches():
         # threaded tile decode (zlib/PIL release the GIL) so the read stage
         # keeps pace with the device
+        from time import perf_counter
         with cf.ThreadPoolExecutor(max_workers=8) as readers:
             for start in range(0, n, batch_size):
+                t0 = perf_counter()
                 chunk = image_paths[start:start + batch_size]
                 imgs = list(readers.map(
                     lambda p: read_geotiff(p).data[:, :, :3], chunk))
+                stage_s["decode"] += perf_counter() - t0
                 yield np.stack(imgs)
 
     def vectorize_one(dets, bi, bounds):
         """Per-image host stage: paste masks, trace, simplify, georeference.
         numpy and the C++ tracer release the GIL, so these parallelize."""
+        from time import perf_counter
+        _t0 = perf_counter()
+        try:
+            return _vectorize_one(dets, bi, bounds)
+        finally:
+            stage_s["vectorize"] += perf_counter() - _t0
+
+    def _vectorize_one(dets, bi, bounds):
         west, south, east, north = bounds
         sx = (east - west) / tile_size
         sy = (north - south) / tile_size
@@ -146,6 +170,12 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
                             "tiles dispatched")
         for fut in all_futs:                 # in-order: deterministic output
             records.extend(fut.result())
+    eng_stats = getattr(engine, "stats", {})
+    logger.info(
+        "make_detections stage breakdown: decode %.1fs, h2d %.1fs, "
+        "d2h %.1fs, vectorize %.1fs (thread-seconds)" % (
+            stage_s["decode"], eng_stats.get("h2d_s", 0.0),
+            eng_stats.get("d2h_s", 0.0), stage_s["vectorize"]))
     return records
 
 

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Steady-state measurement of the end-to-end make_detections path
+(VERDICT round-1 item 9): tile files on disk -> decode -> device ->
+detections -> mask vectorization -> gpkg-ready records, with the
+per-stage wall-clock breakdown logged by pipeline.detections.
+
+Replicates an existing tile directory (e.g. the e2e workdir's trn-images)
+up to --n-tiles files so the run is long enough to amortize compile and
+spin-up, then runs detect_tiles with trained or random weights.
+
+    python scripts/measure_detections.py --images /tmp/rs_e2e_q5/outputs/\
+obj_detector/trn-images --ckpt /tmp/rs_e2e_q5/outputs/obj_detector/logs \
+--n-tiles 2048
+"""
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+from time import perf_counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", required=True)
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint file or log dir (default: random init)")
+    ap.add_argument("--n-tiles", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--int8", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from roadsurf_tpu.models import fast_profile, init_params
+    from roadsurf_tpu.pipeline.detections import detect_tiles
+    from roadsurf_tpu.utils.logging import logger
+
+    srcs = sorted(glob.glob(os.path.join(args.images, "*.tif")))
+    if not srcs:
+        raise SystemExit(f"no tiles under {args.images}")
+    work = tempfile.mkdtemp(prefix="det_bench_")
+    paths, bounds = [], []
+    for i in range(args.n_tiles):
+        src = srcs[i % len(srcs)]
+        dst = os.path.join(work, f"{i:05d}.tif")
+        os.link(src, dst) if hasattr(os, "link") else shutil.copy(src, dst)
+        paths.append(dst)
+        bounds.append((0.0, 0.0, 256.0, 256.0))
+
+    cfg = fast_profile()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    if args.ckpt:
+        from roadsurf_tpu.utils.checkpoint import (latest_checkpoint,
+                                                   load_params)
+        from roadsurf_tpu.utils.d2_convert import merge_params
+        ckpt = args.ckpt
+        if os.path.isdir(ckpt):
+            ckpt = latest_checkpoint(ckpt)
+        loaded, _ = load_params(ckpt)
+        params, _ = merge_params(jax.device_get(params), loaded)
+        logger.info(f"weights: {ckpt}")
+    if args.int8:
+        from dataclasses import replace
+        from roadsurf_tpu.models.quant import prepare_int8_params
+        cal = np.random.default_rng(1).integers(
+            0, 255, (8, 256, 256, 3), dtype=np.uint8)
+        params["backbone_q"] = prepare_int8_params(params, cal, cfg)
+        cfg = replace(cfg, int8_backbone=True)
+
+    # warm (compile) on a small slice, then measure steady state
+    detect_tiles(params, cfg, paths[:args.batch], bounds[:args.batch],
+                 batch_size=args.batch)
+    t0 = perf_counter()
+    recs = detect_tiles(params, cfg, paths, bounds, batch_size=args.batch)
+    dt = perf_counter() - t0
+    print(json.dumps({
+        "metric": "make_detections_e2e",
+        "tiles": args.n_tiles,
+        "tiles_per_sec": round(args.n_tiles / dt, 1),
+        "records": len(recs),
+        "elapsed_s": round(dt, 1),
+    }))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

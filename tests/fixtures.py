@@ -70,12 +70,17 @@ def roads_parameters_df() -> pd.DataFrame:
     })
 
 
-def write_data_dir(root: str) -> str:
-    """Materialize a reference-layout ``data/`` directory under ``root``."""
+def write_data_dir(root: str, n_grid: int = 3,
+                   spacing: float = 300.0) -> str:
+    """Materialize a reference-layout ``data/`` directory under ``root``.
+
+    ``n_grid``/``spacing`` scale the synthetic road network (the e2e
+    quality chain uses a denser grid so the per-road balanced F1 has
+    enough resolution to sit meaningfully below 1.0)."""
     data = os.path.join(root, "data")
     os.makedirs(os.path.join(data, "swissTLM3D"), exist_ok=True)
     os.makedirs(os.path.join(data, "AOI"), exist_ok=True)
-    write_file(synthetic_roads(),
+    write_file(synthetic_roads(n_grid=n_grid, spacing=spacing),
                os.path.join(data, "swissTLM3D", "roads_lines.shp"))
     write_file(synthetic_forests(),
                os.path.join(data, "swissTLM3D", "forests.shp"))

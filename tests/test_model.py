@@ -268,3 +268,38 @@ def test_roi_align_adaptive_sampling_matches_numpy():
     out_h = np.asarray(_roi_align_separable(
         feats, jnp.asarray(hard[None]), lvl, 7, 0, min_level=0))[0]
     np.testing.assert_allclose(out_h, refs_h, atol=5e-4)
+
+
+def test_int8_backbone_close_to_f32():
+    """Static-int8 backbone (models/quant.py) tracks the f32 backbone
+    within quantization tolerance on calibrated inputs."""
+    from roadsurf_tpu.models.mask_rcnn import preprocess
+    from roadsurf_tpu.models.quant import (calibrate_backbone,
+                                           quantize_backbone,
+                                           resnet_forward_int8)
+    from roadsurf_tpu.models.resnet import init_resnet, resnet_forward
+
+    rng = np.random.default_rng(11)
+    params = init_resnet(jax.random.PRNGKey(0))
+    # zero-gamma init leaves residual branches dead; give conv3 scales
+    # realistic magnitudes so quantization error actually propagates
+    for stage in ("res2", "res3", "res4", "res5"):
+        for bp in params[stage]:
+            bp["conv3"]["scale"] = jnp.asarray(
+                rng.uniform(0.5, 1.5, bp["conv3"]["scale"].shape),
+                jnp.float32)
+    cfg = fast_profile()
+    imgs = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    x = preprocess(jnp.asarray(imgs), cfg, 64)
+
+    ref = resnet_forward(params, x, jnp.float32)
+    scales = calibrate_backbone(params, x, cfg)
+    q = quantize_backbone(jax.device_get(params), scales)
+    got = resnet_forward_int8(q, x)
+
+    for k in ("res2", "res3", "res4", "res5"):
+        r = np.asarray(ref[k], np.float32)
+        g = np.asarray(got[k], np.float32)
+        denom = np.maximum(np.abs(r).mean(), 1e-3)
+        rel = np.abs(r - g).mean() / denom
+        assert rel < 0.08, (k, rel)

@@ -25,6 +25,11 @@ import math
 
 import numpy as np
 import torch
+
+# single-threaded torch: the oracle's OpenMP pool otherwise destabilizes
+# the XLA CPU collective threads of later mesh tests in the same process
+# (observed as a message-less native abort in test_short_training_run)
+torch.set_num_threads(1)
 import torch.nn.functional as F
 
 SCALE_CLAMP = math.log(1000.0 / 16.0)
