@@ -34,6 +34,7 @@ def main():
 
     from roadsurf_tpu.models import fast_profile, init_params, \
         make_inference_fn
+    from roadsurf_tpu.models.mask_rcnn import make_inference_scan_fn
 
     profile = os.environ.get("BENCH_PROFILE", "fast")
     if profile == "parity":
@@ -51,7 +52,7 @@ def main():
         cfg = fast_profile(
             post_nms_topk=int(os.environ.get("BENCH_TOPK", "32")))
         batch = int(os.environ.get("BENCH_BATCH", "512"))
-        steps = int(os.environ.get("BENCH_STEPS", "5"))
+        steps = int(os.environ.get("BENCH_STEPS", "3"))
 
     params = init_params(jax.random.PRNGKey(0), cfg)
     dev = jax.devices()[0]
@@ -67,16 +68,26 @@ def main():
             prepare_int8_params(params, cal, cfg), dev)
         cfg = replace(cfg, int8_backbone=True)
 
-    fn = jax.jit(make_inference_fn(cfg, with_masks=True))
+    # k-batch on-device scan: lax.map loops the forward k times inside ONE
+    # dispatch, amortizing the ~25 ms relay/launch latency (k=1 falls back
+    # to the plain per-batch fn)
+    scan_k = int(os.environ.get("BENCH_SCANK",
+                                "4" if profile != "parity" else "1"))
+    if scan_k > 1:
+        fn = jax.jit(make_inference_scan_fn(cfg, with_masks=True))
+        shape = (scan_k, batch, 256, 256, 3)
+    else:
+        fn = jax.jit(make_inference_fn(cfg, with_masks=True))
+        shape = (batch, 256, 256, 3)
 
     rng = np.random.default_rng(0)
     batches = [jax.device_put(jnp.asarray(
-        rng.integers(0, 255, (batch, 256, 256, 3), dtype=np.uint8)), dev)
+        rng.integers(0, 255, shape, dtype=np.uint8)), dev)
         for _ in range(steps)]
 
     # warmup / compile (separate input so nothing below is cached)
     warm = jax.device_put(jnp.asarray(
-        rng.integers(0, 255, (batch, 256, 256, 3), dtype=np.uint8)), dev)
+        rng.integers(0, 255, shape, dtype=np.uint8)), dev)
     float(fn(params, warm)["scores"].sum())
 
     # lag-1 pipelining: one batch in flight overlaps host fetch with device
@@ -92,7 +103,7 @@ def main():
     acc += float(prev["scores"].sum())
     dt = time.perf_counter() - t0
 
-    tiles_per_sec = batch * steps / dt
+    tiles_per_sec = batch * max(scan_k, 1) * steps / dt
     baseline = 5000.0
     print(json.dumps({
         "metric": "mask_rcnn_r50fpn_256px_tile_inference"

@@ -57,10 +57,13 @@ class TileInferenceEngine:
         self.stats = {"h2d_s": 0.0, "d2h_s": 0.0}
 
     def _put(self, images: np.ndarray):
+        # h2d stays asynchronous — blocking here would serialize upload
+        # with drain/decode and distort the throughput being measured; the
+        # dispatch call itself surfaces any upload backpressure, which is
+        # what h2d_s accounts (issue time, not transfer completion)
         import jax
         t0 = time.perf_counter()
         out = jax.device_put(images, self._batch_sharding)
-        out.block_until_ready()
         self.stats["h2d_s"] += time.perf_counter() - t0
         return out
 

@@ -137,3 +137,24 @@ def make_inference_fn(cfg: ModelConfig, with_masks: bool = True,
     """
     return partial(forward_inference, cfg=cfg, with_masks=with_masks,
                    mask_format=mask_format)
+
+
+@lru_cache(maxsize=32)
+def make_inference_scan_fn(cfg: ModelConfig, with_masks: bool = True,
+                           mask_format: str = "logits"):
+    """Returns fn(params, images (k, B, H, W, 3)) -> detections stacked on
+    a leading k axis.
+
+    ``lax.map`` compiles the single-batch forward once and loops it
+    ON-DEVICE, so the host pays ONE dispatch per k batches. On the relayed
+    TPU the per-dispatch latency is ~25 ms — at a ~200 ms batch-512 step
+    that is 12% of wall clock recovered for k≥4 — and on production
+    hardware it likewise hides launch/transfer jitter. Working-set memory
+    stays that of a single batch (the loop is sequential)."""
+    base = make_inference_fn(cfg, with_masks=with_masks,
+                             mask_format=mask_format)
+
+    def fn(params, images):
+        return jax.lax.map(lambda x: base(params, x), images)
+
+    return fn

@@ -9,7 +9,9 @@ Scheme (standard post-training static quantization):
 * weights: per-output-channel symmetric int8 — the FrozenBN scale is
   folded into the weight first (w' = w·γ), then sw[c] = max|w'[..., c]|/127;
 * activations: per-layer symmetric int8 with a calibrated scale sa
-  (moving max over calibration batches of the f32/bf16 model);
+  (the |max| over ONE calibration batch of the f32/bf16 model — callers
+  should sample that batch across the deployment imagery, e.g. evenly
+  strided over the AOI, so border/nodata tiles can't skew the scales);
 * conv executes as int8 with int32 accumulation
   (``preferred_element_type=int32``); the (sa·sw) rescale + bias + ReLU
   run fused in the epilogue at f32, output re-quantizes into the next

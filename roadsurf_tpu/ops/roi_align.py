@@ -34,11 +34,13 @@ _MATMUL_PATH_MAX_HW = 160 * 160
 
 # static sample slots for POOLER_SAMPLING_RATIO=0 (adaptive) semantics:
 # per-ROI n = ceil(bin size in cells) is masked into this many slots.
-# The detectron2 CUDA op has no cap; n > 4 only occurs for boxes whose
-# aspect ratio exceeds ~2:1 at their assigned FPN level, where the finer
-# sub-bin average differs negligibly on smooth CNN features (bounded by
-# the parity test tolerance in tests/test_torch_parity.py)
-_ADAPTIVE_MAX = 4
+# The detectron2 CUDA op has no cap; n > 4 occurs for boxes whose aspect
+# ratio exceeds ~2:1 at their assigned FPN level AND for large boxes
+# clamped at the top level (a full 800x1333 image at P5 needs
+# n = ceil((1333/7)/32) = 6, the worst case under MAX_SIZE_TEST=1333).
+# 6 slots therefore cover every reachable geometry of the parity profile;
+# parity vs torchvision is asserted in tests/test_torch_parity.py.
+_ADAPTIVE_MAX = 6
 
 
 def _interp_weights(coord, limit):
@@ -292,12 +294,14 @@ def reachable_levels(feats: list, canonical_size: int = 224,
                      canonical_level: int = 4, min_level: int = 2) -> int:
     """Number of FPN levels a box can actually be assigned to.
 
-    Boxes are clipped to the image, so sqrt(area) <= S and the level
-    assignment (canonical_level + log2(sqrt(area)/canonical_size)) is
-    bounded: at 256px only P2..P4 are reachable — computing P5's masked
-    contribution would be pure waste.
+    Boxes are clipped to the image, so sqrt(area) <= sqrt(H*W) and the
+    level assignment (canonical_level + log2(sqrt(area)/canonical_size))
+    is bounded: at 256px only P2..P4 are reachable — computing P5's masked
+    contribution would be pure waste. Both padded dims participate so
+    non-square images (aspect > 2:1) don't under-count the top level.
     """
-    S = feats[0].shape[1] * 2 ** min_level
+    S = float(np.sqrt(float(feats[0].shape[1]) * float(feats[0].shape[2]))) \
+        * 2 ** min_level
     top = int(np.floor(canonical_level
                        + np.log2(max(S, 1) / canonical_size + 1e-8)))
     return min(len(feats), max(1, top - min_level + 1))

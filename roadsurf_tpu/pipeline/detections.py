@@ -85,10 +85,14 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
 
     if getattr(cfg, "int8_backbone", False) and "backbone_q" not in params \
             and image_paths:
-        # calibrate the static-int8 backbone on the first few real tiles
+        # calibrate the static-int8 backbone on real tiles sampled evenly
+        # across the AOI (the first N paths can be all border/nodata tiles,
+        # which would give unrepresentatively small activation scales)
         from ..models.quant import prepare_int8_params
-        cal = np.stack([read_geotiff(p).data[:, :, :3]
-                        for p in image_paths[:8]])
+        idx = np.unique(np.linspace(0, len(image_paths) - 1,
+                                    min(8, len(image_paths)), dtype=int))
+        cal = np.stack([read_geotiff(image_paths[i]).data[:, :, :3]
+                        for i in idx])
         params = dict(params)
         params["backbone_q"] = prepare_int8_params(params, cal, cfg)
         logger.info("int8 backbone: calibrated on "

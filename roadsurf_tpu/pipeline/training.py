@@ -27,7 +27,6 @@ import os
 import queue
 import threading
 import time
-from functools import partial
 
 import numpy as np
 
@@ -105,7 +104,7 @@ def resize_sample(img, boxes, masks, target: int):
     H, W = img.shape[:2]
     if H == target and W == target:
         return img, boxes, masks
-    s = target / H
+    sy, sx = target / H, target / W     # per-axis: tiles are square in the
     img = np.asarray(Image.fromarray(img).resize((target, target),
                                                  Image.BILINEAR))
     if masks.shape[0]:
@@ -114,7 +113,8 @@ def resize_sample(img, boxes, masks, target: int):
             for m in masks]) // 255
     else:
         masks = np.zeros((0, target, target), masks.dtype)
-    return img, (boxes * s).astype(np.float32), masks
+    scale = np.asarray([sx, sy, sx, sy], np.float32)  # XYXY box layout
+    return img, (boxes * scale).astype(np.float32), masks
 
 
 def augment_sample(rng: np.random.Generator, img, boxes, classes, valid,
@@ -328,11 +328,14 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
     feeder = Prefetcher(ds, batch_size, seed=seed,
                         sizes=sizes if multiscale else None)
     val_feeder = None
+    val_ds = None
     if val_coco and os.path.exists(val_coco):
         val_ds = CocoTileDataset(val_coco, val_images, max_instances)
         if len(val_ds):
             val_feeder = Prefetcher(val_ds, batch_size, seed=99,
                                     augment=False, sizes=(image_size,))
+        else:
+            val_ds = None
 
     metrics_path = os.path.join(log_dir, "metrics.jsonl")
     mf = open(metrics_path, "a")
@@ -351,53 +354,26 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
                 if isinstance(v, (int, float)):
                     tb.add_scalar(k, v, it)
 
-    det_eval_fn = None
-
     from ..engine.train import compute_losses
     val_loss_fn = jax.jit(lambda p, b: compute_losses(
         p, b, jax.random.PRNGKey(0), cfg, image_size))
 
-    def detection_eval(batch) -> dict:
-        """Object-level recall/precision on one val batch: detections
-        matched to gt boxes at IoU ≥ 0.5 (the in-loop stand-in for the
-        reference's periodic COCO eval, detectron2 EVAL_PERIOD)."""
-        nonlocal det_eval_fn
-        from ..models.mask_rcnn import forward_inference
-        if det_eval_fn is None:
-            det_eval_fn = jax.jit(partial(forward_inference, cfg=cfg,
-                                          with_masks=False))
-        out = jax.device_get(det_eval_fn(state["params"], batch["image"]))
-        tp = fp = n_gt = 0
-        for b in range(len(out["scores"])):
-            gts = [batch["gt_boxes"][b][g]
-                   for g in range(len(batch["gt_valid"][b]))
-                   if batch["gt_valid"][b][g]]
-            n_gt += len(gts)
-            used = set()
-            for d in range(len(out["scores"][b])):
-                if not out["valid"][b][d] or out["scores"][b][d] < 0.5:
-                    continue
-                db = out["boxes"][b][d]
-                hit = False
-                for gi, gt in enumerate(gts):
-                    if gi in used:
-                        continue
-                    x0 = max(gt[0], db[0]); y0 = max(gt[1], db[1])
-                    x1 = min(gt[2], db[2]); y1 = min(gt[3], db[3])
-                    inter = max(x1 - x0, 0) * max(y1 - y0, 0)
-                    union = ((gt[2] - gt[0]) * (gt[3] - gt[1])
-                             + (db[2] - db[0]) * (db[3] - db[1]) - inter)
-                    if union > 0 and inter / union >= 0.5:
-                        used.add(gi)
-                        hit = True
-                        break
-                tp += hit
-                fp += not hit
-            del used
-        rec = tp / n_gt if n_gt else 0.0
-        prec = tp / (tp + fp) if (tp + fp) else 0.0
-        return {"val_det_recall": round(rec, 4),
-                "val_det_precision": round(prec, 4)}
+    # COCO-style AP at eval_period — the reference trainer's periodic
+    # COCOEvaluator pass (detectron2_config_3bands.yaml:322). Inference
+    # runs at the training tile size so the in-loop graph is one shape.
+    from dataclasses import replace as _replace
+
+    from ..engine.coco_eval import evaluate_dataset
+    eval_cfg = _replace(cfg, min_size_test=image_size,
+                        max_size_test=image_size)
+    samples_dir = os.path.join(log_dir, "samples")
+
+    def detection_eval(it: int) -> dict:
+        ap = evaluate_dataset(state["params"], eval_cfg, val_ds,
+                              image_size, batch_size=batch_size,
+                              viz_dir=samples_dir, viz_count=4,
+                              viz_tag=f"{it:06d}")
+        return {f"val_{k}": v for k, v in ap.items()}
 
     t0 = time.time()
     try:
@@ -429,10 +405,11 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
                 vm = val_loss_fn(state["params"], vb)
                 v = {f"val_{k}": float(x)
                      for k, x in jax.device_get(vm).items()}
-                v.update(detection_eval(vb))
+                v.update(detection_eval(it + 1))
                 emit(v, it + 1)
                 logger.info(f"eval @{it + 1}: val_total={v['val_total']:.3f} "
-                            f"det_recall={v['val_det_recall']}")
+                            f"bbox_AP={v.get('val_bbox/AP')} "
+                            f"segm_AP={v.get('val_segm/AP')}")
 
             if (it + 1) % cfg.checkpoint_period == 0 or it + 1 == max_iter:
                 p = os.path.join(log_dir, f"model_{it:07d}.npz")
