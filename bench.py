@@ -59,14 +59,17 @@ def main():
     params = jax.device_put(params, dev)
 
     if os.environ.get("BENCH_INT8", "1") == "1" and profile != "parity":
-        # static-int8 backbone (models/quant.py): calibrate on one batch
+        # static-int8 conv/FC stack (models/quant.py): calibrated on one
+        # random batch — activation scales only; this measures SPEED (the
+        # quality gate is the seeded real-tile ablation in BASELINE.md)
         from dataclasses import replace
-        from roadsurf_tpu.models.quant import prepare_int8_params
+        from roadsurf_tpu.models.quant import prepare_quantized
+        scope = os.environ.get("BENCH_INT8_SCOPE", "full")
+        cfg = replace(cfg, int8_scope=scope)
         cal = np.random.default_rng(1).integers(
             0, 255, (8, 256, 256, 3), dtype=np.uint8)
-        params["backbone_q"] = jax.device_put(
-            prepare_int8_params(params, cal, cfg), dev)
-        cfg = replace(cfg, int8_backbone=True)
+        params["quant"] = jax.device_put(
+            prepare_quantized(params, cal, cfg), dev)
 
     # k-batch on-device scan: lax.map loops the forward k times inside ONE
     # dispatch, amortizing the ~25 ms relay/launch latency (k=1 falls back

@@ -100,6 +100,14 @@ class ModelConfig:
     # on v5e for the ResNet convs. Off by default — opt-in deployment
     # knob, quality-guarded by the e2e synthetic chain
     int8_backbone: bool = False
+    # wider static-int8 scope (models/quant.py prepare_quantized):
+    #   ""         — follow int8_backbone only
+    #   "backbone" — ResNet convs (same as int8_backbone=True)
+    #   "convnet"  — + FPN lateral/output convs and the RPN head
+    #   "full"     — + box-head FC1/FC2 and the mask-head conv stack
+    # (classifier/regressor/predictor layers always stay bf16 for score
+    # fidelity). Requires calibrated params["quant"].
+    int8_scope: str = ""
 
     @property
     def fpn_strides(self) -> tuple:

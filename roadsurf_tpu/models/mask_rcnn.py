@@ -57,12 +57,30 @@ def preprocess(images: jnp.ndarray, cfg: ModelConfig,
     return (x - mean) / std
 
 
-def forward_features(params, x, cfg, dtype):
-    if getattr(cfg, "int8_backbone", False) and "backbone_q" in params:
+def _quant_tree(params, cfg) -> dict:
+    """Resolve the calibrated int8 groups for this config (models/quant.py):
+    params['quant'] for the scoped scheme, or the legacy params['backbone_q']
+    when only int8_backbone is set. Empty dict = run bf16."""
+    if getattr(cfg, "int8_scope", "") and "quant" in params:
+        return params["quant"]
+    if getattr(cfg, "int8_backbone", False):
+        if "quant" in params:
+            return {"backbone": params["quant"]["backbone"]}
+        if "backbone_q" in params:
+            return {"backbone": params["backbone_q"]}
+    return {}
+
+
+def forward_features(params, x, cfg, dtype, q: dict | None = None):
+    q = q if q is not None else _quant_tree(params, cfg)
+    if "backbone" in q:
         from .quant import resnet_forward_int8
-        feats = resnet_forward_int8(params["backbone_q"], x)
+        feats = resnet_forward_int8(q["backbone"], x)
     else:
         feats = resnet_forward(params["backbone"], x, dtype)
+    if "fpn" in q:
+        from .quant import fpn_forward_int8
+        return fpn_forward_int8(q["fpn"], feats, dtype)
     return fpn_forward(params["fpn"], feats, dtype)
 
 
@@ -77,9 +95,15 @@ def forward_inference(params: dict, images: jnp.ndarray, cfg: ModelConfig,
     S = cfg.min_size_test if cfg.min_size_test else native
     x = preprocess(images, cfg, S).astype(dtype)
 
-    fpn_feats = forward_features(params, x, cfg, dtype)
-    logits, deltas = rpn_head_forward(params["rpn"], fpn_feats,
-                                      cfg.num_anchors, dtype)
+    q = _quant_tree(params, cfg)
+    fpn_feats = forward_features(params, x, cfg, dtype, q=q)
+    if "rpn" in q:
+        from .quant import rpn_head_forward_int8
+        logits, deltas = rpn_head_forward_int8(q["rpn"], fpn_feats,
+                                               cfg.num_anchors, dtype)
+    else:
+        logits, deltas = rpn_head_forward(params["rpn"], fpn_feats,
+                                          cfg.num_anchors, dtype)
     anchors = all_level_anchors(S, cfg.fpn_strides, cfg.anchor_sizes,
                                 cfg.anchor_aspect_ratios, cfg.anchor_offset)
     proposals, prop_scores = select_proposals(
@@ -95,14 +119,15 @@ def forward_inference(params: dict, images: jnp.ndarray, cfg: ModelConfig,
     box_feats = fpn_feats[:4]  # box/mask pool from P2..P5
     class_logits, box_deltas = box_head_forward(
         params["box_head"], box_feats, proposals, cfg, dtype,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, qp=q.get("box"))
     dets = inference_detections(class_logits, box_deltas, proposals,
                                 prop_scores, cfg, S)
 
     if with_masks:
         mask_logits = mask_head_forward(params["mask_head"], box_feats,
                                         dets["boxes"], cfg, dtype,
-                                        use_pallas=use_pallas)
+                                        use_pallas=use_pallas,
+                                        qp=q.get("mask"))
         # select each detection's own class channel
         cls = dets["classes"]
         masks = jnp.take_along_axis(

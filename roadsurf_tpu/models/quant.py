@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .resnet import max_pool
+from .resnet import max_pool, resnet_forward
 
 _QMAX = 127.0
 
@@ -186,3 +186,207 @@ def resnet_forward_int8(qparams, images):
             x = jnp.maximum(out + sc, 0.0)
         feats[stage] = x.astype(jnp.bfloat16)
     return feats
+
+
+# ---------------------------------------------------------------------------
+# wider scope: FPN / RPN head / box FCs / mask convs (cfg.int8_scope)
+
+
+def quantize_plain(p, act_scale: float):
+    """Per-output-channel int8 for a plain conv/linear unit {'w', 'b'}
+    (weight layout (..., Cout))."""
+    w = np.asarray(p["w"], np.float32)
+    sw = np.max(np.abs(w.reshape(-1, w.shape[-1])), axis=0) / _QMAX
+    sw = np.maximum(sw, 1e-12)
+    wq = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
+    return {
+        "wq": jnp.asarray(wq),
+        "mult": jnp.asarray(act_scale * sw, np.float32),
+        "bias": jnp.asarray(np.asarray(p["b"], np.float32)),
+        "sa": jnp.asarray(np.float32(act_scale)),
+    }
+
+
+def qlinear(x, qp, relu=False):
+    """int8 matmul with int32 accumulation; f32 epilogue, bf16 out."""
+    xq = _quantize_act(x.astype(jnp.float32), qp["sa"])
+    y = jnp.dot(xq, qp["wq"], preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * qp["mult"] + qp["bias"]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(jnp.bfloat16)
+
+
+def fpn_forward_int8(qp, feats, dtype=jnp.bfloat16):
+    """Quantized FPN (models/fpn.py structure: laterals, top-down sum,
+    output convs, P6 maxpool)."""
+    from .fpn import upsample2x_nearest
+
+    names = ["res2", "res3", "res4", "res5"]
+    laterals = [qconv_unit(feats[n], qp[f"lateral{i + 2}"], relu=False)
+                for i, n in enumerate(names)]
+    tds = [None] * 4
+    tds[3] = laterals[3]
+    for i in (2, 1, 0):
+        tds[i] = (laterals[i] + upsample2x_nearest(tds[i + 1])).astype(dtype)
+    outs = [qconv_unit(tds[i], qp[f"output{i + 2}"], relu=False)
+            for i in range(4)]
+    p6 = jax.lax.reduce_window(
+        outs[3], -jnp.inf, jax.lax.max, (1, 1, 1, 1), (1, 2, 2, 1), "VALID")
+    outs.append(p6)
+    return outs
+
+
+def rpn_head_forward_int8(qp, feats, num_anchors: int = 3,
+                          dtype=jnp.bfloat16):
+    """Quantized StandardRPNHead (models/rpn.py structure); the shared
+    conv uses ONE activation scale across pyramid levels (the max)."""
+    logits, deltas = [], []
+    for f in feats:
+        t = qconv_unit(f, qp["conv"], relu=True)
+        o = qconv_unit(t, qp["objectness"], relu=False)
+        d = qconv_unit(t, qp["deltas"], relu=False)
+        b, h, w, _ = o.shape
+        logits.append(o.reshape(b, h * w * num_anchors))
+        deltas.append(d.reshape(b, h * w * num_anchors, 4))
+    return logits, deltas
+
+
+def calibrate_inference(params, x, cfg, image_size: int):
+    """Activation maxima for every extended-scope unit, recorded from ONE
+    jitted forward of the real pipeline (backbone → FPN → RPN → proposal
+    selection → box pooling/FCs → mask pooling/convs).
+
+    Mask-conv inputs are taken from the pooled features of the top
+    detections_per_image *proposals* rather than post-NMS detections: the
+    activation RANGE is what calibration needs, and proposal ROI features
+    draw from the same FPN value distribution."""
+    from .anchors import all_level_anchors
+    from .fpn import fpn_forward, upsample2x_nearest
+    from .roi_heads import _linear
+    from .rpn import rpn_head_forward, select_proposals
+    from ..ops.roi_align import roi_align_multilevel
+
+    S = image_size
+    anchors = all_level_anchors(S, cfg.fpn_strides, cfg.anchor_sizes,
+                                cfg.anchor_aspect_ratios, cfg.anchor_offset)
+
+    def fwd(x):
+        m = {}
+
+        def track(name, t):
+            prev = m.get(name)
+            v = jnp.max(jnp.abs(t))
+            m[name] = v if prev is None else jnp.maximum(prev, v)
+
+        feats = resnet_forward(params["backbone"], x, jnp.float32)
+        # FPN taps (same structure as fpn_forward)
+        names = ["res2", "res3", "res4", "res5"]
+        for i, n in enumerate(names):
+            track(("fpn", f"lateral{i + 2}"), feats[n])
+        fp = params["fpn"]
+        laterals = [_conv_b32(feats[n], fp[f"lateral{i + 2}"])
+                    for i, n in enumerate(names)]
+        tds = [None] * 4
+        tds[3] = laterals[3]
+        for i in (2, 1, 0):
+            tds[i] = laterals[i] + upsample2x_nearest(tds[i + 1])
+        for i in range(4):
+            track(("fpn", f"output{i + 2}"), tds[i])
+        fpn_feats = fpn_forward(params["fpn"], feats, jnp.float32)
+
+        # RPN taps: shared conv => shared (max-over-levels) scales
+        rp = params["rpn"]
+        for f in fpn_feats:
+            track(("rpn", "conv"), f)
+            t = jax.lax.conv_general_dilated(
+                f, rp["conv"]["w"].astype(jnp.float32), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            t = jnp.maximum(t + rp["conv"]["b"], 0.0)
+            track(("rpn", "objectness"), t)
+            track(("rpn", "deltas"), t)
+
+        logits, dl = rpn_head_forward(rp, fpn_feats, cfg.num_anchors,
+                                      jnp.float32)
+        proposals, _ = select_proposals(
+            logits, dl, anchors, S, cfg.rpn_pre_nms_topk_test,
+            cfg.rpn_post_nms_topk_test, cfg.rpn_nms_thresh,
+            fast_nms=getattr(cfg, "fast_nms", False))
+
+        # box head taps
+        bp = params["box_head"]
+        pooled = roi_align_multilevel(
+            fpn_feats[:4], proposals, cfg.box_pooler_resolution,
+            sampling=cfg.pooler_sampling_ratio,
+            canonical_size=cfg.canonical_box_size,
+            canonical_level=cfg.canonical_level)
+        xf = pooled.reshape(pooled.shape[0] * pooled.shape[1], -1)
+        track(("box", "fc1"), xf)
+        x1 = jnp.maximum(_linear(xf, bp["fc1"], jnp.float32), 0.0)
+        track(("box", "fc2"), x1)
+
+        # mask head taps (top-D proposal features)
+        mp = params["mask_head"]
+        mpool = roi_align_multilevel(
+            fpn_feats[:4], proposals[:, :cfg.detections_per_image],
+            cfg.mask_pooler_resolution,
+            sampling=cfg.pooler_sampling_ratio,
+            canonical_size=cfg.canonical_box_size,
+            canonical_level=cfg.canonical_level)
+        h = mpool.reshape(-1, cfg.mask_pooler_resolution,
+                          cfg.mask_pooler_resolution, mpool.shape[-1])
+        for i in range(cfg.mask_num_conv):
+            track(("mask", f"conv{i + 1}"), h)
+            p = mp[f"conv{i + 1}"]
+            h = jax.lax.conv_general_dilated(
+                h.astype(jnp.float32), p["w"].astype(jnp.float32), (1, 1),
+                "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            h = jnp.maximum(h + p["b"], 0.0)
+        return m
+
+    maxes = jax.device_get(jax.jit(fwd)(x))
+    return {k: float(v) / _QMAX for k, v in maxes.items()}
+
+
+def _conv_b32(x, p):
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), p["w"].astype(jnp.float32), (1, 1),
+        "SAME" if p["w"].shape[0] > 1 else "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + p["b"]
+
+
+def prepare_quantized(params, images_u8, cfg, image_size: int | None = None):
+    """Calibrate + quantize per ``cfg.int8_scope`` (or the legacy
+    ``int8_backbone``). Returns the tree for ``params['quant']``:
+    {'backbone': ..., 'fpn': ..., 'rpn': ..., 'box': ..., 'mask': ...}
+    with only the in-scope groups present."""
+    from .mask_rcnn import preprocess
+
+    scope = getattr(cfg, "int8_scope", "") \
+        or ("backbone" if getattr(cfg, "int8_backbone", False) else "")
+    if not scope:
+        return {}
+    S = image_size or cfg.min_size_test or images_u8.shape[1]
+    x = preprocess(jnp.asarray(images_u8), cfg, S)
+    host = jax.device_get(params)
+
+    q = {"backbone": quantize_backbone(
+        host["backbone"], calibrate_backbone(params["backbone"], x, cfg))}
+    if scope == "backbone":
+        return q
+
+    scales = calibrate_inference(params, x, cfg, S)
+    q["fpn"] = {k: quantize_plain(host["fpn"][k], scales[("fpn", k)])
+                for k in host["fpn"]}
+    q["rpn"] = {k: quantize_plain(host["rpn"][k], scales[("rpn", k)])
+                for k in ("conv", "objectness", "deltas")}
+    if scope == "convnet":
+        return q
+
+    q["box"] = {k: quantize_plain(host["box_head"][k], scales[("box", k)])
+                for k in ("fc1", "fc2")}
+    q["mask"] = {f"conv{i + 1}": quantize_plain(
+        host["mask_head"][f"conv{i + 1}"], scales[("mask", f"conv{i + 1}")])
+        for i in range(cfg.mask_num_conv)}
+    return q

@@ -27,8 +27,12 @@ def _linear(x, p, dtype=jnp.bfloat16):
 
 
 def box_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
-                     cfg, dtype=jnp.bfloat16, use_pallas: bool = False):
-    """boxes (B, R, 4) -> (class_logits (B, R, C+1), deltas (B, R, C, 4))."""
+                     cfg, dtype=jnp.bfloat16, use_pallas: bool = False,
+                     qp: dict | None = None):
+    """boxes (B, R, 4) -> (class_logits (B, R, C+1), deltas (B, R, C, 4)).
+
+    ``qp``: calibrated int8 params for FC1/FC2 (models/quant.py,
+    cfg.int8_scope "full"); the cls/bbox predictors always stay bf16."""
     B, R = boxes.shape[:2]
     pooled = roi_align_multilevel(feats, boxes, cfg.box_pooler_resolution,
                                   sampling=cfg.pooler_sampling_ratio,
@@ -36,8 +40,13 @@ def box_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
                                   canonical_level=cfg.canonical_level,
                                   use_pallas=use_pallas)
     x = pooled.reshape(B * R, -1)
-    x = jnp.maximum(_linear(x, params["fc1"], dtype), 0.0)
-    x = jnp.maximum(_linear(x, params["fc2"], dtype), 0.0)
+    if qp is not None:
+        from .quant import qlinear
+        x = qlinear(x, qp["fc1"], relu=True)
+        x = qlinear(x, qp["fc2"], relu=True)
+    else:
+        x = jnp.maximum(_linear(x, params["fc1"], dtype), 0.0)
+        x = jnp.maximum(_linear(x, params["fc2"], dtype), 0.0)
     logits = _linear(x, params["cls"], dtype).reshape(B, R, -1)
     deltas = _linear(x, params["bbox"], dtype).reshape(
         B, R, cfg.num_classes, 4)
@@ -45,8 +54,12 @@ def box_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
 
 
 def mask_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
-                      cfg, dtype=jnp.bfloat16, use_pallas: bool = False):
-    """boxes (B, D, 4) -> per-class mask logits (B, D, 2*res, 2*res, C)."""
+                      cfg, dtype=jnp.bfloat16, use_pallas: bool = False,
+                      qp: dict | None = None):
+    """boxes (B, D, 4) -> per-class mask logits (B, D, 2*res, 2*res, C).
+
+    ``qp``: calibrated int8 params for the conv stack (models/quant.py,
+    cfg.int8_scope "full"); deconv + predictor always stay bf16."""
     B, D = boxes.shape[:2]
     pooled = roi_align_multilevel(feats, boxes, cfg.mask_pooler_resolution,
                                   sampling=cfg.pooler_sampling_ratio,
@@ -55,10 +68,15 @@ def mask_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
                                   use_pallas=use_pallas)
     x = pooled.reshape(B * D, cfg.mask_pooler_resolution,
                        cfg.mask_pooler_resolution, -1).astype(dtype)
-    for i in range(cfg.mask_num_conv):
-        p = params[f"conv{i + 1}"]
-        x = conv(x, p["w"], 1, dtype) + p["b"].astype(dtype)
-        x = jnp.maximum(x, 0.0).astype(dtype)
+    if qp is not None:
+        from .quant import qconv_unit
+        for i in range(cfg.mask_num_conv):
+            x = qconv_unit(x, qp[f"conv{i + 1}"], relu=True)
+    else:
+        for i in range(cfg.mask_num_conv):
+            p = params[f"conv{i + 1}"]
+            x = conv(x, p["w"], 1, dtype) + p["b"].astype(dtype)
+            x = jnp.maximum(x, 0.0).astype(dtype)
     # 2x transposed conv (stride-2 deconv, kernel 2). transpose_kernel=True
     # + (kh, kw, out, in) kernel layout reproduces torch.nn.ConvTranspose2d
     # exactly (pinned empirically; with in==out==256 a layout mistake passes

@@ -83,20 +83,21 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
     """
     from ..engine.infer import TileInferenceEngine
 
-    if getattr(cfg, "int8_backbone", False) and "backbone_q" not in params \
+    want_int8 = getattr(cfg, "int8_scope", "") \
+        or ("backbone" if getattr(cfg, "int8_backbone", False) else "")
+    if want_int8 and "quant" not in params and "backbone_q" not in params \
             and image_paths:
-        # calibrate the static-int8 backbone on real tiles sampled evenly
+        # calibrate the static-int8 stack on real tiles sampled evenly
         # across the AOI (the first N paths can be all border/nodata tiles,
         # which would give unrepresentatively small activation scales)
-        from ..models.quant import prepare_int8_params
+        from ..models.quant import prepare_quantized
         idx = np.unique(np.linspace(0, len(image_paths) - 1,
                                     min(8, len(image_paths)), dtype=int))
         cal = np.stack([read_geotiff(image_paths[i]).data[:, :, :3]
                         for i in idx])
         params = dict(params)
-        params["backbone_q"] = prepare_int8_params(params, cal, cfg)
-        logger.info("int8 backbone: calibrated on "
-                    f"{len(cal)} tiles")
+        params["quant"] = prepare_quantized(params, cal, cfg)
+        logger.info(f"int8 ({want_int8}): calibrated on {len(cal)} tiles")
 
     engine = TileInferenceEngine(params, cfg, batch_size=batch_size,
                                  with_masks=True, mask_format="u8")

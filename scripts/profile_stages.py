@@ -30,8 +30,13 @@ def main():
         box_head_forward, inference_detections, mask_head_forward)
     from roadsurf_tpu.ops.nms import NEG_INF
 
-    cfg = fast_profile()
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    if os.environ.get("BENCH_PROFILE", "fast") == "parity":
+        from roadsurf_tpu.models import ModelConfig
+        cfg = ModelConfig()
+        batch = int(os.environ.get("BENCH_BATCH", "16"))
+    else:
+        cfg = fast_profile()
+        batch = int(os.environ.get("BENCH_BATCH", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "4"))
     dtype = jnp.bfloat16
 

