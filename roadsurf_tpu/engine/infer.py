@@ -48,8 +48,9 @@ class TileInferenceEngine:
             self.mesh = None
             self.params = jax.device_put(params, devices[0])
             self._batch_sharding = devices[0]
-        self.fn = jax.jit(make_inference_fn(cfg, with_masks=with_masks,
-                                            mask_format=mask_format))
+        from ..models.mask_rcnn import jitted_inference_fn
+        self.fn = jitted_inference_fn(cfg, with_masks=with_masks,
+                                      mask_format=mask_format)
         self.tiles_seen = 0
         self.elapsed = 0.0
         # per-stage wall clock (h2d = upload wait, d2h = result fetch wait;

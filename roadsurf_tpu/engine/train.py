@@ -302,21 +302,28 @@ def _is_frozen(path, freeze_at: int = 2) -> bool:
     return False
 
 
-def init_train_state(key, cfg: ModelConfig) -> dict:
+def init_train_state(key, cfg: ModelConfig, seed: int = 7) -> dict:
     params = init_params(key, cfg)
     return {
         "params": params,
         "velocity": jax.tree.map(jnp.zeros_like, params),
         "step": jnp.zeros((), jnp.int32),
+        # sampling seed as STATE, not a compile-time constant: seed sweeps
+        # (scripts/ablate_seeded.py) then share one compiled step
+        "seed": jnp.asarray(seed, jnp.int32),
     }
 
 
 def make_train_step(cfg: ModelConfig, image_size: int, seed: int = 7):
-    """seed drives the per-step sampling noise (RPN/ROI minibatch draws):
-    folded with the step counter so resume is deterministic, threaded from
-    the training driver so independent sweeps decorrelate."""
+    """The per-step sampling noise (RPN/ROI minibatch draws) is keyed by
+    fold_in(state seed, step counter) so resume is deterministic and
+    independent seed sweeps decorrelate WITHOUT recompiling (the seed
+    rides in the train state; the ``seed`` kwarg only serves legacy states
+    saved without one)."""
     def step_fn(state, batch):
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), state["step"])
+        base = state.get("seed", jnp.asarray(seed, jnp.int32))
+        key = jax.random.fold_in(jax.random.fold_in(
+            jax.random.PRNGKey(0), base), state["step"])
 
         def loss_fn(params):
             losses = compute_losses(params, batch, key, cfg, image_size)
@@ -345,6 +352,29 @@ def make_train_step(cfg: ModelConfig, image_size: int, seed: int = 7):
         metrics["lr"] = lr
         return ({"params": jax.tree.unflatten(treedef, new_p),
                  "velocity": jax.tree.unflatten(treedef, new_v),
-                 "step": state["step"] + 1}, metrics)
+                 "step": state["step"] + 1,
+                 "seed": base}, metrics)
 
     return step_fn
+
+
+_JITTED_STEPS: dict = {}
+
+
+def jitted_train_step(cfg: ModelConfig, image_size: int, mesh=None):
+    """Process-wide cache of jitted train steps keyed by
+    (cfg, image_size, mesh): repeated trainings (seed sweeps, resumed
+    runs, tests) reuse one traced/compiled executable."""
+    key = (cfg, image_size, mesh)
+    if key not in _JITTED_STEPS:
+        fn = make_train_step(cfg, image_size)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            _JITTED_STEPS[key] = jax.jit(
+                fn,
+                in_shardings=(NamedSharding(mesh, P()),
+                              NamedSharding(mesh, P("data"))),
+                out_shardings=(NamedSharding(mesh, P()), None))
+        else:
+            _JITTED_STEPS[key] = jax.jit(fn)
+    return _JITTED_STEPS[key]

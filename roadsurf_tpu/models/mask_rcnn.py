@@ -165,6 +165,16 @@ def make_inference_fn(cfg: ModelConfig, with_masks: bool = True,
 
 
 @lru_cache(maxsize=32)
+def jitted_inference_fn(cfg: ModelConfig, with_masks: bool = True,
+                        mask_format: str = "logits"):
+    """Process-wide jit wrapper cache: repeated engine constructions
+    (variant sweeps, per-seed evaluation loops) reuse one compiled
+    executable instead of retracing per instance."""
+    return jax.jit(make_inference_fn(cfg, with_masks=with_masks,
+                                     mask_format=mask_format))
+
+
+@lru_cache(maxsize=32)
 def make_inference_scan_fn(cfg: ModelConfig, with_masks: bool = True,
                            mask_format: str = "logits"):
     """Returns fn(params, images (k, B, H, W, 3)) -> detections stacked on

@@ -55,10 +55,20 @@ def calibrate_backbone(params, images_f32, cfg=None):
 
     Runs as ONE jitted forward returning every tracked max (eager per-op
     execution would trigger one remote compile per conv on the relayed
-    TPU backend)."""
+    TPU backend); params are a traced ARGUMENT so repeated calibrations
+    (seed sweeps) reuse the compiled executable."""
+    maxes = jax.device_get(_calib_backbone_fn()(params, images_f32))
+    return {k: float(v) / _QMAX for k, v in maxes.items()}
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=2)
+def _calib_backbone_fn():
     from .resnet import conv_bn
 
-    def fwd(x):
+    def fwd(params, x):
         maxes = {}
 
         def track(name, t):
@@ -89,8 +99,7 @@ def calibrate_backbone(params, images_f32, cfg=None):
                 h = jnp.maximum(out + sc, 0.0)
         return maxes
 
-    maxes = jax.device_get(jax.jit(fwd)(images_f32))
-    return {k: float(v) / _QMAX for k, v in maxes.items()}
+    return jax.jit(fwd)
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +269,14 @@ def calibrate_inference(params, x, cfg, image_size: int):
     Mask-conv inputs are taken from the pooled features of the top
     detections_per_image *proposals* rather than post-NMS detections: the
     activation RANGE is what calibration needs, and proposal ROI features
-    draw from the same FPN value distribution."""
+    draw from the same FPN value distribution. Params are a traced
+    argument — repeated calibrations reuse one compile per (cfg, size)."""
+    maxes = jax.device_get(_calib_inference_fn(cfg, image_size)(params, x))
+    return {k: float(v) / _QMAX for k, v in maxes.items()}
+
+
+@lru_cache(maxsize=8)
+def _calib_inference_fn(cfg, image_size: int):
     from .anchors import all_level_anchors
     from .fpn import fpn_forward, upsample2x_nearest
     from .roi_heads import _linear
@@ -271,7 +287,7 @@ def calibrate_inference(params, x, cfg, image_size: int):
     anchors = all_level_anchors(S, cfg.fpn_strides, cfg.anchor_sizes,
                                 cfg.anchor_aspect_ratios, cfg.anchor_offset)
 
-    def fwd(x):
+    def fwd(params, x):
         m = {}
 
         def track(name, t):
@@ -344,8 +360,7 @@ def calibrate_inference(params, x, cfg, image_size: int):
             h = jnp.maximum(h + p["b"], 0.0)
         return m
 
-    maxes = jax.device_get(jax.jit(fwd)(x))
-    return {k: float(v) / _QMAX for k, v in maxes.items()}
+    return jax.jit(fwd)
 
 
 def _conv_b32(x, p):

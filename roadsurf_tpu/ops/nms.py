@@ -37,14 +37,12 @@ def _iou_one_vs_all(b, boxes, areas, area_i):
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
-              max_out: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy NMS over (N, 4) boxes / (N,) scores (higher first).
-
-    Returns (keep_scores, keep_idx) of length max_out: the selected boxes'
-    scores (suppressed/padded entries at NEG_INF) and their indices into the
-    input arrays. Exact greedy semantics (same result as torchvision.nms).
-    """
+def nms_scan(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
+             max_out: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact greedy NMS as an N-step rank scan (the textbook sequential
+    form — one fused vector row op per rank). Kept as the semantics oracle
+    for :func:`nms_fixed`; the Jacobi form below computes the identical
+    result in ~suppression-chain-depth sweeps instead of N steps."""
     n = boxes.shape[0]
     order = jnp.argsort(-scores)
     sboxes = boxes[order]
@@ -63,6 +61,59 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
     kept_scores = jnp.where(keep & (sscores > NEG_INF / 2), sscores, NEG_INF)
     top_scores, top_i = jax.lax.top_k(kept_scores, max_out)
     return top_scores, order[top_i]
+
+
+def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
+              max_out: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over (N, 4) boxes / (N,) scores (higher first).
+
+    Returns (keep_scores, keep_idx) of length max_out: the selected boxes'
+    scores (suppressed/padded entries at NEG_INF) and their indices into the
+    input arrays. Exact greedy semantics (same result as torchvision.nms).
+
+    TPU-native form: the greedy keep set is the unique fixpoint of
+        keep[i] = ¬∃j: rank(j) < rank(i) ∧ keep[j] ∧ iou(i, j) > t
+    — a recursion over the score-rank DAG. Jacobi-iterating it from
+    keep=all converges in suppression-chain-depth sweeps (road scenes: 2-4;
+    worst case N), each sweep ONE fused O(N²) vector op — replacing the
+    N-step sequential rank scan that dominated the 800px parity profile
+    (N = 4,507 RPN candidates; reference geometry
+    detectron2_config_3bands.yaml:222-251). Exactness vs the scan form is
+    pinned by tests/test_model.py adversarial chain cases.
+    """
+    n = boxes.shape[0]
+    areas = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) \
+        * jnp.maximum(boxes[:, 3] - boxes[:, 1], 0)
+    lt = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    rb = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = areas[:, None] + areas[None, :] - inter
+    iou = jnp.where(union > 0, inter / union, 0.0)
+
+    idx = jnp.arange(n)
+    # rank(j) < rank(i) under stable descending sort: higher score, or
+    # equal score and lower index
+    prior = (scores[None, :] > scores[:, None]) \
+        | ((scores[None, :] == scores[:, None])
+           & (idx[None, :] < idx[:, None]))
+    # M[i, j]: j (if kept) suppresses i
+    M = (iou > iou_thresh) & prior & (scores > NEG_INF / 2)[None, :]
+
+    def cond(carry):
+        keep, prev = carry
+        return jnp.any(keep != prev)
+
+    def body(carry):
+        keep, _ = carry
+        suppressed = jnp.any(M & keep[None, :], axis=1)
+        return ~suppressed, keep
+
+    init = jnp.ones((n,), bool)
+    keep, _ = jax.lax.while_loop(cond, body,
+                                 (init, jnp.zeros((n,), bool)))
+    kept_scores = jnp.where(keep & (scores > NEG_INF / 2), scores, NEG_INF)
+    return jax.lax.top_k(kept_scores, max_out)
 
 
 def nms_sweep(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,

@@ -167,8 +167,16 @@ def _axis_weight_matrix_adaptive(lo, bin_size, dim: int, stride: float,
 
 
 def _roi_align_separable(feats, boxes, lvl, out_size, sampling, min_level,
-                         img_chunk: int = 4):
-    """MXU path: per-level separable interpolation matmuls, levels summed."""
+                         img_chunk: int = 0):
+    """MXU path: per-level separable interpolation matmuls, levels summed.
+
+    ``img_chunk=0`` picks the chunk size from the t1 working set: tile-
+    scale maps (≤160²) process 4 images per lax.map step; the 800px parity
+    maps drop to 1 image per step so the (R, P, W, C) separable
+    intermediate stays a bounded transient (~0.7 GB at P2/R=1000)."""
+    if img_chunk == 0:
+        hw = feats[0].shape[1] * feats[0].shape[2]
+        img_chunk = 4 if hw <= _MATMUL_PATH_MAX_HW else 1
     B, R = boxes.shape[:2]
     P = out_size
     x0, y0 = boxes[..., 0], boxes[..., 1]
@@ -311,12 +319,16 @@ def roi_align_multilevel(feats: list, boxes: jnp.ndarray, out_size: int,
                          sampling: int = 2, canonical_size: int = 224,
                          canonical_level: int = 4, min_level: int = 2,
                          max_level: int = 5, chunk: int = 0,
-                         use_pallas: bool = False) -> jnp.ndarray:
+                         use_pallas: bool = False,
+                         use_gather: bool = False) -> jnp.ndarray:
     """feats: [P2..P5] NHWC tensors; boxes: (B, R, 4) XYXY in image coords.
 
     Returns (B, R, out_size, out_size, C) float32 pooled features.
     ``sampling=0`` selects POOLER_SAMPLING_RATIO=0 adaptive semantics
-    (per-ROI ceil(bin cells), the reference's pinned configuration).
+    (per-ROI ceil(bin cells), the reference's pinned configuration) — the
+    separable path computes it EXACTLY for any n via the closed-form
+    series; the legacy gather path (``use_gather``, kept as a test oracle)
+    caps the sample train at _ADAPTIVE_MAX slots.
     ``use_pallas`` selects the fused TPU kernel (inference path on real
     TPU; no VJP, so training keeps the XLA formulations).
     """
@@ -333,8 +345,8 @@ def roi_align_multilevel(feats: list, boxes: jnp.ndarray, out_size: int,
                                min_level=min_level)
     lvl = _level_assignment(boxes, canonical_size, canonical_level,
                             min_level, min_level + n_lev - 1)
-    if feats[0].shape[1] * feats[0].shape[2] <= _MATMUL_PATH_MAX_HW:
-        return _roi_align_separable(feats, boxes, lvl, out_size, sampling,
-                                    min_level)
-    return _roi_align_gather(feats, boxes, lvl, out_size, sampling,
-                             min_level, chunk)
+    if use_gather:
+        return _roi_align_gather(feats, boxes, lvl, out_size, sampling,
+                                 min_level, chunk)
+    return _roi_align_separable(feats, boxes, lvl, out_size, sampling,
+                                min_level)

@@ -268,7 +268,7 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..engine.train import init_train_state, make_train_step
+    from ..engine.train import init_train_state, jitted_train_step
 
     ensure_dir_exists(log_dir)
     max_iter = max_iter or cfg.max_iter
@@ -280,7 +280,7 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
     logger.info(f"training on {len(ds)} tiles, batch {batch_size}, "
                 f"{max_iter} iters")
 
-    state = init_train_state(jax.random.PRNGKey(seed), cfg)
+    state = init_train_state(jax.random.PRNGKey(seed), cfg, seed=seed)
     start_iter = 0
     from ..utils.checkpoint import latest_checkpoint, load_params
     resume = latest_checkpoint(log_dir)
@@ -303,21 +303,9 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
 
     sizes = tuple(cfg.min_size_train) if multiscale else (image_size,)
 
-    def make_jitted(sz):
-        fn = make_train_step(cfg, sz, seed=seed)
-        if mesh is not None:
-            return jax.jit(fn,
-                           in_shardings=(NamedSharding(mesh, P()),
-                                         NamedSharding(mesh, P("data"))),
-                           out_shardings=(NamedSharding(mesh, P()), None))
-        return jax.jit(fn)
-
-    step_fns = {}           # image size -> jitted step (compiled lazily)
-
     def step_for(sz):
-        if sz not in step_fns:
-            step_fns[sz] = make_jitted(sz)
-        return step_fns[sz]
+        # process-wide cache: seed sweeps / resumed runs reuse compiles
+        return jitted_train_step(cfg, sz, mesh)
 
     if mesh is not None:
         state = jax.device_put(state, NamedSharding(mesh, P()))

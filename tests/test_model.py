@@ -367,3 +367,42 @@ def test_int8_scope_levels_select_groups():
     assert set(q) == {"backbone"}
     q = prepare_quantized(params, imgs, replace(cfg, int8_scope="convnet"))
     assert set(q) == {"backbone", "fpn", "rpn"}
+
+
+def test_nms_jacobi_equals_scan_on_chains_and_random():
+    """nms_fixed (DAG-Jacobi) must reproduce the sequential rank scan
+    exactly — including deep suppression chains (A kills B, B would kill
+    C => C survives), staircases, ties, and padded entries."""
+    from roadsurf_tpu.ops.nms import NEG_INF, nms_fixed, nms_scan
+
+    # staircase chain: each box overlaps only its neighbors -> greedy
+    # keeps every other box; a single sweep would over-suppress
+    n = 24
+    b = np.stack([np.arange(n) * 6.0, np.zeros(n),
+                  np.arange(n) * 6.0 + 10.0, np.full(n, 10.0)],
+                 1).astype(np.float32)
+    s = np.linspace(1.0, 0.5, n).astype(np.float32)
+    js, ji = nms_fixed(jnp.asarray(b), jnp.asarray(s), 0.3, n)
+    ss, si = nms_scan(jnp.asarray(b), jnp.asarray(s), 0.3, n)
+    np.testing.assert_array_equal(np.asarray(js), np.asarray(ss))
+    np.testing.assert_array_equal(np.asarray(ji)[np.asarray(js) > NEG_INF / 2],
+                                  np.asarray(si)[np.asarray(ss) > NEG_INF / 2])
+
+    # randomized clusters with ties and NEG_INF padding
+    rng = np.random.default_rng(17)
+    for trial in range(5):
+        m = 120
+        centers = rng.uniform(0, 80, (10, 2))
+        c = centers[rng.integers(0, 10, m)] + rng.normal(0, 4, (m, 2))
+        wh2 = rng.uniform(4, 14, (m, 2))
+        b = np.concatenate([c - wh2, c + wh2], 1).astype(np.float32)
+        s = np.round(rng.uniform(0, 1, m), 2).astype(np.float32)  # ties
+        s[rng.uniform(size=m) < 0.2] = NEG_INF                    # padding
+        js, ji = nms_fixed(jnp.asarray(b), jnp.asarray(s), 0.5, 50)
+        ss, si = nms_scan(jnp.asarray(b), jnp.asarray(s), 0.5, 50)
+        np.testing.assert_array_equal(np.asarray(js), np.asarray(ss),
+                                      err_msg=f"trial {trial}")
+        kept = np.asarray(js) > NEG_INF / 2
+        np.testing.assert_array_equal(np.asarray(ji)[kept],
+                                      np.asarray(si)[kept],
+                                      err_msg=f"trial {trial}")
