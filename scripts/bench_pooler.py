@@ -1,0 +1,76 @@
+"""RoIAlign pooler microbenchmark at deployment shapes (real TPU).
+
+Compares the fused Pallas kernel against the XLA separable path at
+several per-image chunk sizes, for the box head (P=7) and mask head
+(P=14) geometries of the fast profile. Distinct inputs per step;
+completion forced by a scalar fetch (see bench.py notes).
+
+    BENCH_BATCH=512 python scripts/bench_pooler.py
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from roadsurf_tpu.ops.roi_align import (_level_assignment,
+                                            _roi_align_separable)
+    from roadsurf_tpu.ops.roi_align_pallas import roi_align_fused
+
+    B = int(os.environ.get("BENCH_BATCH", "512"))
+    steps = int(os.environ.get("BENCH_STEPS", "3"))
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+
+    # P2..P4 at 256px (the reachable levels), bf16 like the model
+    sizes = [(64, 64), (32, 32), (16, 16)]
+    C = 256
+
+    def feats_batch():
+        return tuple(
+            jax.device_put(jnp.asarray(
+                rng.normal(0, 1, (B, h, w, C)).astype(np.bfloat16)), dev)
+            for h, w in sizes)
+
+    def boxes_batch(R):
+        x0 = rng.uniform(0, 200, (B, R, 2))
+        wh = rng.uniform(8, 56, (B, R, 2))
+        b = np.concatenate([x0, np.minimum(x0 + wh, 256.0)], -1)
+        return jax.device_put(jnp.asarray(b, jnp.float32), dev)
+
+    cases = []
+    for R, P in ((32, 7), (64, 7), (8, 14)):
+        cases.append((f"pallas R={R} P={P}",
+                      jax.jit(partial(roi_align_fused, out_size=P,
+                                      sampling=2)), R))
+        for ic in (4, 16, 64):
+            def sep(feats, boxes, _P=P, _ic=ic):
+                lvl = _level_assignment(boxes, 224.0, 4, 2, 4)
+                return _roi_align_separable(list(feats), boxes, lvl, _P, 2,
+                                            2, img_chunk=_ic)
+            cases.append((f"separable ic={ic} R={R} P={P}", jax.jit(sep), R))
+
+    for name, fn, R in cases:
+        ins = [(feats_batch(), boxes_batch(R)) for _ in range(steps + 1)]
+        try:
+            float(jnp.sum(fn(*ins[0])[..., 0]))   # compile+warm
+            t0 = time.perf_counter()
+            for f, b in ins[1:]:
+                float(jnp.sum(fn(f, b)[..., 0]))
+            ms = (time.perf_counter() - t0) / steps * 1000.0
+            print(f"{name:28s} {ms:8.2f} ms/batch", flush=True)
+        except Exception as e:
+            print(f"{name:28s} FAILED {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

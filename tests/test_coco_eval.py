@@ -116,6 +116,7 @@ def test_mask_iou_matrix():
     assert iou[0, 1] == pytest.approx(1.0)
 
 
+@pytest.mark.slow
 def test_evaluate_dataset_end_to_end_smoke():
     """Full evaluate_dataset drive with a stubbed dataset + tiny model."""
     import jax

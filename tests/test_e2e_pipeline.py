@@ -15,6 +15,9 @@ import pandas as pd
 import pytest
 import yaml
 
+# the workspace fixture runs the full label->tileset->metrics chain
+pytestmark = pytest.mark.slow
+
 from fixtures import (roads_parameters_df, synthetic_aoi, synthetic_forests,
                       synthetic_roads, write_data_dir)
 from roadsurf_tpu.geom.core import Polygon

@@ -270,6 +270,7 @@ def test_roi_align_adaptive_sampling_matches_numpy():
     np.testing.assert_allclose(out_h, refs_h, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_int8_backbone_close_to_f32():
     """Static-int8 backbone (models/quant.py) tracks the f32 backbone
     within quantization tolerance on calibrated inputs."""
@@ -305,6 +306,7 @@ def test_int8_backbone_close_to_f32():
         assert rel < 0.08, (k, rel)
 
 
+@pytest.mark.slow
 def test_int8_full_scope_tracks_bf16_outputs():
     """int8_scope='full' (backbone+FPN+RPN+FC+mask convs, models/quant.py)
     produces detections close to the bf16 graph: same top class, box
@@ -348,6 +350,7 @@ def test_int8_full_scope_tracks_bf16_outputs():
     assert abs(float(r.mean()) - float(g.mean())) < 0.15
 
 
+@pytest.mark.slow
 def test_int8_scope_levels_select_groups():
     """prepare_quantized returns exactly the groups its scope names."""
     from dataclasses import replace

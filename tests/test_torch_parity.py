@@ -175,6 +175,7 @@ def _fake_d2_state_dict(num_classes: int = 80, sane_scale: bool = False):
     return sd
 
 
+@pytest.mark.slow
 def test_d2_checkpoint_conversion_forward_parity(tmp_path):
     """Convert a torch-made detectron2 state dict and check the folded
     stem conv reproduces torch's conv+FrozenBN output; class-mismatched
@@ -218,6 +219,7 @@ def test_d2_checkpoint_conversion_forward_parity(tmp_path):
     np.testing.assert_allclose(mine, ref, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_full_model_forward_parity(tmp_path):
     """End-to-end forward parity: the composed JAX detector vs an
     independent torch/torchvision implementation of the pinned detectron2
