@@ -151,9 +151,14 @@ def compute_losses(params, batch, key, cfg: ModelConfig, image_size: int):
     S = image_size
     x = preprocess(images, cfg, S).astype(dtype)
 
+    remat = (jax.checkpoint if getattr(cfg, "train_remat", False)
+             else (lambda f: f))
+
     backbone_params = stop_gradient_frozen(params["backbone"], cfg.freeze_at)
-    feats = resnet_forward(backbone_params, x, dtype)
-    fpn_feats = fpn_forward(params["fpn"], feats, dtype)
+    feats = remat(lambda p, h: resnet_forward(p, h, dtype))(
+        backbone_params, x)
+    fpn_feats = remat(lambda p, f: fpn_forward(p, f, dtype))(
+        params["fpn"], feats)
 
     logits, deltas = rpn_head_forward(params["rpn"], fpn_feats,
                                       cfg.num_anchors, dtype)
@@ -220,8 +225,9 @@ def compute_losses(params, batch, key, cfg: ModelConfig, image_size: int):
         batch["gt_valid"], keys[B:2 * B])
 
     # ---- box head ---------------------------------------------------------
-    class_logits, box_deltas = box_head_forward(
-        params["box_head"], fpn_feats[:4], s_props, cfg, dtype)
+    class_logits, box_deltas = remat(
+        lambda p, f, b: box_head_forward(p, f, b, cfg, dtype))(
+        params["box_head"], fpn_feats[:4], s_props)
     cls_loss_el = softmax_ce(class_logits.astype(jnp.float32), s_cls,
                              cfg.num_classes + 1)
     loss_cls = jnp.sum(jnp.where(s_valid, cls_loss_el, 0.0)) / (B * T)
@@ -247,8 +253,9 @@ def compute_losses(params, batch, key, cfg: ModelConfig, image_size: int):
         s_props, s_matched, s_cls, s_pos,
         jax.random.split(keys[2 * B], B))
 
-    mask_logits = mask_head_forward(params["mask_head"], fpn_feats[:4],
-                                    m_props, cfg, dtype)
+    mask_logits = remat(
+        lambda p, f, b: mask_head_forward(p, f, b, cfg, dtype))(
+        params["mask_head"], fpn_feats[:4], m_props)
     res = 2 * cfg.mask_pooler_resolution
     sel_logits = jnp.take_along_axis(
         mask_logits, jnp.clip(m_cls, 0, cfg.num_classes - 1)

@@ -108,6 +108,11 @@ class ModelConfig:
     # (classifier/regressor/predictor layers always stay bf16 for score
     # fidelity). Requires calibrated params["quant"].
     int8_scope: str = ""
+    # rematerialize the training forward per stage (jax.checkpoint around
+    # backbone/FPN/box/mask heads): trades ~1/3 more FLOPs for dropping
+    # each stage's activations from the backward liveness — the 1016-ROI
+    # box/mask pooling otherwise OOMs HBM at large tile batches
+    train_remat: bool = False
 
     @property
     def fpn_strides(self) -> tuple:

@@ -38,7 +38,7 @@ def main():
     def feats_batch():
         return tuple(
             jax.device_put(jnp.asarray(
-                rng.normal(0, 1, (B, h, w, C)).astype(np.bfloat16)), dev)
+                rng.normal(0, 1, (B, h, w, C)), jnp.bfloat16), dev)
             for h, w in sizes)
 
     def boxes_batch(R):

@@ -101,9 +101,15 @@ def main():
                os.environ.get("BENCH_TRAIN_BATCHES", "8,64").split(",")]
     size = int(os.environ.get("BENCH_TRAIN_SIZE", "256"))
 
+    from dataclasses import replace
+
     cfg = ModelConfig()         # reference solver/sampling budgets
     for batch in batches:
-        bench_one(cfg, size, batch, steps, f"{size}px")
+        # large tile batches need per-stage remat (the 1016-ROI box/mask
+        # pooling's activations otherwise exceed HBM)
+        c = replace(cfg, train_remat=True) if batch > 16 else cfg
+        bench_one(c, size, batch, steps,
+                  f"{size}px" + ("_remat" if batch > 16 else ""))
 
 
 if __name__ == "__main__":

@@ -69,11 +69,8 @@ def main():
         logger.info(f"weights: {ckpt}")
     if args.int8:
         from dataclasses import replace
-        from roadsurf_tpu.models.quant import prepare_int8_params
-        cal = np.random.default_rng(1).integers(
-            0, 255, (8, 256, 256, 3), dtype=np.uint8)
-        params["backbone_q"] = prepare_int8_params(params, cal, cfg)
-        cfg = replace(cfg, int8_backbone=True)
+        cfg = replace(cfg, int8_scope="full")
+        # detect_tiles calibrates on real tiles strided across the set
 
     # warm (compile) on a small slice, then measure steady state
     detect_tiles(params, cfg, paths[:args.batch], bounds[:args.batch],
