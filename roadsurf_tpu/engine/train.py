@@ -253,23 +253,45 @@ def compute_losses(params, batch, key, cfg: ModelConfig, image_size: int):
         s_props, s_matched, s_cls, s_pos,
         jax.random.split(keys[2 * B], B))
 
-    mask_logits = remat(
-        lambda p, f, b: mask_head_forward(p, f, b, cfg, dtype))(
-        params["mask_head"], fpn_feats[:4], m_props)
     res = 2 * cfg.mask_pooler_resolution
-    sel_logits = jnp.take_along_axis(
-        mask_logits, jnp.clip(m_cls, 0, cfg.num_classes - 1)
-        [:, :, None, None, None], axis=-1)[..., 0]
 
     def mask_tgt_one(gt_masks, matched, props):
         gm = gt_masks[matched].astype(jnp.float32)
         return crop_mask_targets(gm, props, res)
 
-    m_tgt = jax.vmap(mask_tgt_one)(batch["gt_masks"], m_matched, m_props)
-    mask_el = bce_with_logits(sel_logits.astype(jnp.float32), m_tgt)
-    denom = jnp.maximum(jnp.sum(m_valid), 1) * res * res
-    loss_mask = jnp.sum(
-        jnp.where(m_valid[:, :, None, None], mask_el, 0.0)) / denom
+    def mask_branch(mask_params, feats4, props, matched, cls_, valid,
+                    gt_masks):
+        """Pool + convs + deconv + target crop + masked BCE sum for a
+        group of images; returns (loss numerator, #valid ROIs) so chunks
+        combine by addition."""
+        logits = mask_head_forward(mask_params, feats4, props, cfg, dtype)
+        sel = jnp.take_along_axis(
+            logits, jnp.clip(cls_, 0, cfg.num_classes - 1)
+            [:, :, None, None, None], axis=-1)[..., 0]
+        tgt = jax.vmap(mask_tgt_one)(gt_masks, matched, props)
+        el = bce_with_logits(sel.astype(jnp.float32), tgt)
+        return (jnp.sum(jnp.where(valid[:, :, None, None], el, 0.0)),
+                jnp.sum(valid))
+
+    mask_branch_r = remat(mask_branch)
+    chunks = int(getattr(cfg, "train_head_chunks", 1) or 1)
+    if chunks > 1 and B % chunks == 0:
+        C_ = B // chunks
+        xs = ([f.reshape(chunks, C_, *f.shape[1:]) for f in fpn_feats[:4]],
+              m_props.reshape(chunks, C_, M, 4),
+              m_matched.reshape(chunks, C_, M),
+              m_cls.reshape(chunks, C_, M),
+              m_valid.reshape(chunks, C_, M),
+              batch["gt_masks"].reshape(
+                  chunks, C_, *batch["gt_masks"].shape[1:]))
+        sums, counts = jax.lax.map(
+            lambda t: mask_branch_r(params["mask_head"], *t), xs)
+        mask_sum, n_valid = jnp.sum(sums), jnp.sum(counts)
+    else:
+        mask_sum, n_valid = mask_branch_r(
+            params["mask_head"], fpn_feats[:4], m_props, m_matched, m_cls,
+            m_valid, batch["gt_masks"])
+    loss_mask = mask_sum / (jnp.maximum(n_valid, 1) * res * res)
 
     losses = {
         "loss_rpn_cls": loss_rpn_cls,

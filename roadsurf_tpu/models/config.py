@@ -113,6 +113,13 @@ class ModelConfig:
     # each stage's activations from the backward liveness — the 1016-ROI
     # box/mask pooling otherwise OOMs HBM at large tile batches
     train_remat: bool = False
+    # chunk the training mask branch (pool + convs + deconv + targets +
+    # loss) over the tile batch with lax.map: peak HBM for the branch drops
+    # to batch/train_head_chunks images. Even rematted, the 254-ROI
+    # 28x28x256 deconv activations are ~95 MB/tile in the backward — at
+    # batch 64 that alone exceeds v5e HBM. 1 = no chunking; must divide
+    # the batch.
+    train_head_chunks: int = 1
 
     @property
     def fpn_strides(self) -> tuple:

@@ -47,20 +47,30 @@ def main():
         b = np.concatenate([x0, np.minimum(x0 + wh, 256.0)], -1)
         return jax.device_put(jnp.asarray(b, jnp.float32), dev)
 
+    # separable cases first: the fused Pallas kernel has hung the relayed
+    # backend before (a silent 40-min stall) — run it LAST so the XLA
+    # numbers always land, and announce every case before compiling
     cases = []
     for R, P in ((32, 7), (64, 7), (8, 14)):
-        cases.append((f"pallas R={R} P={P}",
-                      jax.jit(partial(roi_align_fused, out_size=P,
-                                      sampling=2)), R))
         for ic in (4, 16, 64):
             def sep(feats, boxes, _P=P, _ic=ic):
                 lvl = _level_assignment(boxes, 224.0, 4, 2, 4)
                 return _roi_align_separable(list(feats), boxes, lvl, _P, 2,
                                             2, img_chunk=_ic)
             cases.append((f"separable ic={ic} R={R} P={P}", jax.jit(sep), R))
+    if os.environ.get("BENCH_PALLAS", "1") == "1":
+        for R, P in ((32, 7), (64, 7), (8, 14)):
+            cases.append((f"pallas R={R} P={P}",
+                          jax.jit(partial(roi_align_fused, out_size=P,
+                                          sampling=2)), R))
+
+    only = os.environ.get("BENCH_CASES", "")
+    if only:
+        cases = [c for c in cases if only in c[0]]
 
     for name, fn, R in cases:
         ins = [(feats_batch(), boxes_batch(R)) for _ in range(steps + 1)]
+        print(f"... {name}: compiling", file=sys.stderr, flush=True)
         try:
             float(jnp.sum(fn(*ins[0])[..., 0]))   # compile+warm
             t0 = time.perf_counter()

@@ -106,8 +106,12 @@ def main():
     cfg = ModelConfig()         # reference solver/sampling budgets
     for batch in batches:
         # large tile batches need per-stage remat (the 1016-ROI box/mask
-        # pooling's activations otherwise exceed HBM)
-        c = replace(cfg, train_remat=True) if batch > 16 else cfg
+        # pooling's activations otherwise exceed HBM) plus mask-branch
+        # chunking (even rematted, the 254-ROI deconv backward holds
+        # ~95 MB/tile)
+        c = (replace(cfg, train_remat=True,
+                     train_head_chunks=max(1, batch // 8))
+             if batch > 16 else cfg)
         bench_one(c, size, batch, steps,
                   f"{size}px" + ("_remat" if batch > 16 else ""))
 

@@ -35,35 +35,62 @@ def main():
         cfg = ModelConfig()
         batch = int(os.environ.get("BENCH_BATCH", "16"))
     else:
-        cfg = fast_profile()
+        cfg = fast_profile(
+            post_nms_topk=int(os.environ.get("BENCH_TOPK", "32")))
         batch = int(os.environ.get("BENCH_BATCH", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "4"))
     dtype = jnp.bfloat16
+
+    # mirror bench.py's deployment path: optional static-int8 scopes and
+    # the fused Pallas pooler on real TPU (BENCH_INT8=1 BENCH_INT8_SCOPE=full)
+    if os.environ.get("BENCH_INT8", "0") == "1":
+        from dataclasses import replace
+        cfg = replace(cfg,
+                      int8_scope=os.environ.get("BENCH_INT8_SCOPE", "full"))
+    use_pallas = bool(cfg.pallas_pooler) and jax.default_backend() == "tpu"
 
     S = cfg.min_size_test
     anchors = all_level_anchors(S, cfg.fpn_strides, cfg.anchor_sizes,
                                 cfg.anchor_aspect_ratios, cfg.anchor_offset)
 
+    from roadsurf_tpu.models.mask_rcnn import _quant_tree
+
     def st_preprocess(params, images):
         return preprocess(images, cfg, S).astype(dtype)
 
-    def st_backbone(params, images):
-        from roadsurf_tpu.models.resnet import resnet_forward
+    def st_stem(params, images):
+        from roadsurf_tpu.models.resnet import conv_bn, max_pool
         x = st_preprocess(params, images)
+        return max_pool(conv_bn(x, params["backbone"]["stem"], stride=2,
+                                dtype=dtype), 3, 2)
+
+    def st_backbone(params, images):
+        x = st_preprocess(params, images)
+        q = _quant_tree(params, cfg)
+        if "backbone" in q:
+            from roadsurf_tpu.models.quant import resnet_forward_int8
+            return resnet_forward_int8(q["backbone"], x)
+        from roadsurf_tpu.models.resnet import resnet_forward
         return resnet_forward(params["backbone"], x, dtype)
 
     def st_fpn(params, images):
         x = st_preprocess(params, images)
         return forward_features(params, x, cfg, dtype)
 
-    def st_rpn_head(params, images):
-        feats = st_fpn(params, images)
+    def _rpn(params, feats):
+        q = _quant_tree(params, cfg)
+        if "rpn" in q:
+            from roadsurf_tpu.models.quant import rpn_head_forward_int8
+            return rpn_head_forward_int8(q["rpn"], feats, cfg.num_anchors,
+                                         dtype)
         return rpn_head_forward(params["rpn"], feats, cfg.num_anchors, dtype)
+
+    def st_rpn_head(params, images):
+        return _rpn(params, st_fpn(params, images))
 
     def _proposals(params, images):
         feats = st_fpn(params, images)
-        logits, deltas = rpn_head_forward(params["rpn"], feats,
-                                          cfg.num_anchors, dtype)
+        logits, deltas = _rpn(params, feats)
         props, pscores = select_proposals(
             logits, deltas, anchors, S, cfg.rpn_pre_nms_topk_test,
             cfg.rpn_post_nms_topk_test, cfg.rpn_nms_thresh,
@@ -76,13 +103,17 @@ def main():
 
     def st_box_head(params, images):
         feats, props, pscores = _proposals(params, images)
+        q = _quant_tree(params, cfg)
         return box_head_forward(params["box_head"], feats[:4], props, cfg,
-                                dtype)
+                                dtype, use_pallas=use_pallas,
+                                qp=q.get("box"))
 
     def _dets(params, images):
         feats, props, pscores = _proposals(params, images)
+        q = _quant_tree(params, cfg)
         cl, bd = box_head_forward(params["box_head"], feats[:4], props, cfg,
-                                  dtype)
+                                  dtype, use_pallas=use_pallas,
+                                  qp=q.get("box"))
         return feats, inference_detections(cl, bd, props, pscores, cfg, S)
 
     def st_detections(params, images):
@@ -90,8 +121,10 @@ def main():
 
     def st_full(params, images):
         feats, dets = _dets(params, images)
+        q = _quant_tree(params, cfg)
         ml = mask_head_forward(params["mask_head"], feats[:4], dets["boxes"],
-                               cfg, dtype)
+                               cfg, dtype, use_pallas=use_pallas,
+                               qp=q.get("mask"))
         cls = dets["classes"]
         dets["mask_logits"] = jnp.take_along_axis(
             ml, cls[:, :, None, None, None], axis=-1)[..., 0]
@@ -99,6 +132,7 @@ def main():
 
     stages = [
         ("preprocess", st_preprocess),
+        ("stem", st_stem),
         ("backbone", st_backbone),
         ("+fpn", st_fpn),
         ("+rpn_head", st_rpn_head),
@@ -107,8 +141,19 @@ def main():
         ("+detections(cls_nms)", st_detections),
         ("+mask_head=FULL", st_full),
     ]
+    # BENCH_STAGES=backbone,+fpn runs a subset (marginal-cost column then
+    # only meaningful between adjacent selected rows)
+    sel = os.environ.get("BENCH_STAGES", "")
+    if sel:
+        keep = set(sel.split(","))
+        stages = [s for s in stages if s[0] in keep]
 
     params = init_params(jax.random.PRNGKey(0), cfg)
+    if getattr(cfg, "int8_scope", ""):
+        from roadsurf_tpu.models.quant import prepare_quantized
+        cal = np.random.default_rng(1).integers(
+            0, 255, (8, 256, 256, 3), dtype=np.uint8)
+        params["quant"] = prepare_quantized(params, cal, cfg)
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}, "
           f"batch={batch}, steps={steps}", file=sys.stderr)

@@ -123,6 +123,48 @@ def test_short_training_run(tmp_path):
 
 
 @pytest.mark.slow
+def test_mask_branch_chunking_equivalent():
+    """train_head_chunks=2 (lax.map over image chunks) must produce the
+    same losses as the unchunked path — it only regroups the same math."""
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace
+    from roadsurf_tpu.models.config import fast_profile
+    from roadsurf_tpu.engine.train import compute_losses, init_train_state
+
+    cfg = replace(fast_profile(post_nms_topk=32),
+                  min_size_test=64, max_size_test=64,
+                  roi_batch_per_image=32, rpn_batch_per_image=16)
+    rng = np.random.default_rng(3)
+    B, size, G = 4, 64, 4
+    boxes = np.zeros((B, G, 4), np.float32)
+    masks = np.zeros((B, G, size, size), np.uint8)
+    for b in range(B):
+        x0, y0 = rng.uniform(4, 30, 2)
+        boxes[b, 0] = (x0, y0, x0 + 20, y0 + 16)
+        masks[b, 0, int(y0):int(y0) + 16, int(x0):int(x0) + 20] = 1
+    batch = {
+        "image": rng.integers(0, 255, (B, size, size, 3), np.uint8),
+        "gt_boxes": jnp.asarray(boxes),
+        "gt_classes": jnp.zeros((B, G), jnp.int32),
+        "gt_valid": jnp.asarray(
+            np.arange(G)[None, :] < 1).repeat(B, axis=0),
+        "gt_masks": jnp.asarray(masks),
+    }
+    params = init_train_state(jax.random.PRNGKey(0), cfg)["params"]
+    key = jax.random.PRNGKey(11)
+    ref = compute_losses(params, batch, key, cfg, size)
+    chunked = compute_losses(
+        params, batch, key, replace(cfg, train_head_chunks=2), size)
+    # bf16 compute under different fusion boundaries (lax.map vs inline)
+    # rounds differently at ~1e-4 relative; the math is identical
+    for k in ref:
+        np.testing.assert_allclose(np.float64(chunked[k]),
+                                   np.float64(ref[k]), rtol=5e-4,
+                                   err_msg=k)
+
+
+@pytest.mark.slow
 def test_training_resume(tmp_path):
     """Restarting on the same log dir resumes from the newest checkpoint."""
     import jax
