@@ -46,9 +46,9 @@ def main():
         steps = int(os.environ.get("BENCH_STEPS", "3"))
     else:
         # deployment defaults: 32 post-NMS proposals and the static-int8
-        # backbone — both quality-validated on the adversarial dense
-        # synthetic AOI (scripts/ablate_fast_profile.py: R32+int8 0.891,
-        # int8 0.775, fast-R64 0.775, exact 0.897; noise band ~±0.06)
+        # stack — quality-validated on the 5-seed adversarial ablation
+        # (scripts/ablate_seeded.py, BASELINE.md): fast-R32+int8full
+        # 0.903±0.064 vs exact-budget 0.914±0.105 — within 1 sigma
         cfg = fast_profile(
             post_nms_topk=int(os.environ.get("BENCH_TOPK", "32")))
         batch = int(os.environ.get("BENCH_BATCH", "512"))
