@@ -70,7 +70,8 @@ def paste_masks(mask_probs: np.ndarray, boxes: np.ndarray, size: int,
 def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
                  tile_bounds: list, batch_size: int = 16,
                  score_thresh: float = 0.05, rdp_eps: float = 0.75,
-                 tile_size: int = 256, progress_every: int = 50):
+                 tile_size: int = 256, progress_every: int = 50,
+                 scan_k: int = 1):
     """Run inference over tile images; yields per-detection records
     (geometry in EPSG:3857 of the tile bounds, score, det_class).
 
@@ -81,7 +82,7 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
     mask vectorization overlaps device compute and multi-chip meshes shard
     the tile batch automatically.
     """
-    from ..engine.infer import TileInferenceEngine
+    from ..engine.infer import TileInferenceEngine, prefetch_iter
 
     want_int8 = getattr(cfg, "int8_scope", "") \
         or ("backbone" if getattr(cfg, "int8_backbone", False) else "")
@@ -100,7 +101,8 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
         logger.info(f"int8 ({want_int8}): calibrated on {len(cal)} tiles")
 
     engine = TileInferenceEngine(params, cfg, batch_size=batch_size,
-                                 with_masks=True, mask_format="u8")
+                                 with_masks=True, mask_format="u8",
+                                 scan_k=scan_k)
     records = []
     n = len(image_paths)
 
@@ -161,7 +163,10 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
     idx = 0
     all_futs = []
     with cf.ThreadPoolExecutor(max_workers=4) as pool:
-        for dets in engine.run(batches()):
+        # decode prefetch: the reader generator runs in its own thread so
+        # disk/zlib work overlaps result drains instead of serializing
+        # between dispatches
+        for dets in engine.run(prefetch_iter(batches(), depth=2)):
             n_im = len(dets["scores"])
             start = idx
             # don't block on the host stage here: blocking would stall the

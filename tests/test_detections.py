@@ -159,6 +159,49 @@ def test_inference_engine_sharded_cpu_mesh():
     assert eng.tiles_seen == 11
 
 
+@pytest.mark.slow
+def test_engine_packed_scan_matches_direct():
+    """The engine's packed single-buffer fetch and scan-k dispatch must be
+    pure transport: outputs equal the jitted fn's, bit for bit (the u8
+    bitcast round-trips f32/i32/bool through numpy views)."""
+    import jax
+    from dataclasses import replace
+    from roadsurf_tpu.engine.infer import TileInferenceEngine
+    from roadsurf_tpu.models import init_params
+    from roadsurf_tpu.models.config import fast_profile
+    from roadsurf_tpu.models.mask_rcnn import jitted_inference_fn
+
+    cfg = replace(fast_profile(post_nms_topk=32), min_size_test=64,
+                  max_size_test=64, detections_per_image=4)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    tiles = rng.integers(0, 255, (11, 64, 64, 3)).astype(np.uint8)
+
+    direct = jitted_inference_fn(cfg, with_masks=True, mask_format="u8")
+    dev = jax.devices()[0]
+    ref = {k: np.asarray(v)
+           for k, v in direct(jax.device_put(params, dev),
+                              tiles[:4]).items()}
+
+    for scan_k in (1, 3):
+        eng = TileInferenceEngine(params, cfg, batch_size=4,
+                                  with_masks=True, mask_format="u8",
+                                  devices=[dev], scan_k=scan_k)
+
+        def batches():
+            yield tiles[:4]
+            yield tiles[4:8]
+            yield tiles[8:]                  # tail (3) pads + trims
+
+        outs = list(eng.run(batches()))
+        assert eng.tiles_seen == 11
+        assert [len(o["scores"]) for o in outs] == [4, 4, 3]
+        for k, v in ref.items():
+            got = outs[0][k]
+            assert got.dtype == v.dtype and got.shape == v.shape, k
+            np.testing.assert_array_equal(got, v, err_msg=f"{k} k={scan_k}")
+
+
 def test_trace_mask_cpp_matches_python():
     """The C++ tracer and the Python reference emit identical ring sets
     (area/bounds/length canonical form) on adversarial random masks."""
