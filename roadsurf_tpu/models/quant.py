@@ -129,8 +129,12 @@ def quantize_backbone(params, act_scales: dict):
             blk = {}
             for cv in ("conv1", "conv2", "conv3", "shortcut"):
                 if cv in bp:
-                    blk[cv] = quantize_unit(bp[cv],
-                                            act_scales[(stage, bi, cv)])
+                    # the shortcut consumes the SAME tensor as conv1;
+                    # pinning it to conv1's scale lets the streaming
+                    # forward quantize the block input once for both
+                    key = (stage, bi, "conv1") if cv == "shortcut" \
+                        else (stage, bi, cv)
+                    blk[cv] = quantize_unit(bp[cv], act_scales[key])
             blocks.append(blk)
         q[stage] = blocks
     return q
@@ -154,16 +158,39 @@ def _quantize_act(x, sa):
     return jnp.clip(q, -_QMAX, _QMAX).astype(jnp.int8)
 
 
-def qconv_unit(x, qp, stride=1, relu=True):
-    """x: f32/bf16 activations; returns bf16 epilogue output (the
-    inter-layer stream stays bf16 so activation bandwidth matches the
-    bf16 path; the rescale chain runs f32 fused into the conv)."""
-    xq = _quantize_act(x.astype(jnp.float32), qp["sa"])
+def qconv_int8_in(xq, qp, stride=1, relu=True, sa_out=None):
+    """Conv on an int8 input already in qp's activation domain.
+
+    ``sa_out=None`` returns the bf16 epilogue output; otherwise the
+    epilogue quantizes straight into the consumer's int8 domain
+    (**streaming**) — between two quantized convs this skips the bf16
+    write+read entirely, halving the inter-layer HBM traffic that
+    dominates the backbone's cost (the conv stack is bandwidth-bound at
+    256px: ~27% MXU utilization measured before streaming)."""
     y = _qconv(xq, qp["wq"], stride).astype(jnp.float32)
     y = y * qp["mult"] + qp["bias"]
     if relu:
         y = jnp.maximum(y, 0.0)
-    return y.astype(jnp.bfloat16)
+    if sa_out is None:
+        return y.astype(jnp.bfloat16)
+    q = jnp.round(y * (1.0 / sa_out))
+    return jnp.clip(q, -_QMAX, _QMAX).astype(jnp.int8)
+
+
+def qconv_unit(x, qp, stride=1, relu=True):
+    """x: f32/bf16 activations; returns bf16 epilogue output (the
+    rescale chain runs f32 fused into the conv)."""
+    xq = _quantize_act(x.astype(jnp.float32), qp["sa"])
+    return qconv_int8_in(xq, qp, stride=stride, relu=relu)
+
+
+def max_pool_i8(x, window=3, stride=2):
+    """int8 max pool (resnet.max_pool geometry). Quantization is monotone
+    non-decreasing, so pooling the quantized stream equals quantizing the
+    pooled bf16 stream; the -128 pad never wins against relu'd values."""
+    return jax.lax.reduce_window(
+        x, jnp.int8(-128), jax.lax.max, (1, window, window, 1),
+        (1, stride, stride, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
 
 
 def prepare_int8_params(params, images_u8, cfg, image_size: int | None = None):
@@ -179,21 +206,39 @@ def prepare_int8_params(params, images_u8, cfg, image_size: int | None = None):
 
 
 def resnet_forward_int8(qparams, images):
-    """images: preprocessed f32 (B, H, W, 3); returns res2..res5 bf16."""
-    x = qconv_unit(images, qparams["stem"], stride=2)
-    x = max_pool(x, 3, 2)
+    """images: preprocessed f32 (B, H, W, 3); returns res2..res5 bf16.
+
+    Streaming form: the block input is quantized ONCE (conv1 and the
+    projection shortcut share that tensor and — enforced by
+    :func:`quantize_backbone` — its scale), conv1→conv2→conv3 links carry
+    int8 in the consumer's domain, and only the residual stream (conv3
+    epilogue + shortcut + relu) runs bf16. The stem streams straight into
+    res2[0]'s conv1 domain through an int8 max pool."""
+    stem = qparams["stem"]
+    first = qparams["res2"][0]
+    xq = _quantize_act(images.astype(jnp.float32), stem["sa"])
+    x8 = qconv_int8_in(xq, stem, stride=2, relu=True,
+                       sa_out=first["conv1"]["sa"])
+    x8 = max_pool_i8(x8, 3, 2)
+    h = None                    # bf16 residual stream (set after block 0)
     feats = {}
     for si, stage in enumerate(("res2", "res3", "res4", "res5")):
         first_stride = 1 if si == 0 else 2
         for bi, bp in enumerate(qparams[stage]):
             stride = first_stride if bi == 0 else 1
-            out = qconv_unit(x, bp["conv1"], stride=stride)
-            out = qconv_unit(out, bp["conv2"], stride=1)
-            out = qconv_unit(out, bp["conv3"], stride=1, relu=False)
-            sc = qconv_unit(x, bp["shortcut"], stride=stride, relu=False) \
-                if "shortcut" in bp else x
-            x = jnp.maximum(out + sc, 0.0)
-        feats[stage] = x.astype(jnp.bfloat16)
+            if x8 is None:      # identity blocks re-quantize the stream
+                x8 = _quantize_act(h.astype(jnp.float32), bp["conv1"]["sa"])
+            t = qconv_int8_in(x8, bp["conv1"], stride=stride, relu=True,
+                              sa_out=bp["conv2"]["sa"])
+            t = qconv_int8_in(t, bp["conv2"], relu=True,
+                              sa_out=bp["conv3"]["sa"])
+            out = qconv_int8_in(t, bp["conv3"], relu=False)
+            sc = qconv_int8_in(x8, bp["shortcut"], stride=stride,
+                               relu=False) if "shortcut" in bp else h
+            h = jnp.maximum(out.astype(jnp.float32)
+                            + sc.astype(jnp.float32), 0.0).astype(jnp.bfloat16)
+            x8 = None
+        feats[stage] = h
     return feats
 
 
@@ -249,12 +294,17 @@ def fpn_forward_int8(qp, feats, dtype=jnp.bfloat16):
 def rpn_head_forward_int8(qp, feats, num_anchors: int = 3,
                           dtype=jnp.bfloat16):
     """Quantized StandardRPNHead (models/rpn.py structure); the shared
-    conv uses ONE activation scale across pyramid levels (the max)."""
+    conv uses ONE activation scale across pyramid levels (the max), and
+    streams its epilogue straight into the two predictor convs' shared
+    int8 domain (:func:`prepare_quantized` pins objectness/deltas to one
+    scale — they consume the same tensor)."""
     logits, deltas = [], []
     for f in feats:
-        t = qconv_unit(f, qp["conv"], relu=True)
-        o = qconv_unit(t, qp["objectness"], relu=False)
-        d = qconv_unit(t, qp["deltas"], relu=False)
+        fq = _quantize_act(f.astype(jnp.float32), qp["conv"]["sa"])
+        t = qconv_int8_in(fq, qp["conv"], relu=True,
+                          sa_out=qp["objectness"]["sa"])
+        o = qconv_int8_in(t, qp["objectness"], relu=False)
+        d = qconv_int8_in(t, qp["deltas"], relu=False)
         b, h, w, _ = o.shape
         logits.append(o.reshape(b, h * w * num_anchors))
         deltas.append(d.reshape(b, h * w * num_anchors, 4))
@@ -394,8 +444,13 @@ def prepare_quantized(params, images_u8, cfg, image_size: int | None = None):
     scales = calibrate_inference(params, x, cfg, S)
     q["fpn"] = {k: quantize_plain(host["fpn"][k], scales[("fpn", k)])
                 for k in host["fpn"]}
-    q["rpn"] = {k: quantize_plain(host["rpn"][k], scales[("rpn", k)])
-                for k in ("conv", "objectness", "deltas")}
+    # objectness/deltas consume the same post-relu tensor: one shared
+    # scale lets the RPN conv stream int8 into both predictors
+    s_t = max(scales[("rpn", "objectness")], scales[("rpn", "deltas")])
+    q["rpn"] = {"conv": quantize_plain(host["rpn"]["conv"],
+                                       scales[("rpn", "conv")]),
+                "objectness": quantize_plain(host["rpn"]["objectness"], s_t),
+                "deltas": quantize_plain(host["rpn"]["deltas"], s_t)}
     if scope == "convnet":
         return q
 

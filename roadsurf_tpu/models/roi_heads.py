@@ -69,9 +69,16 @@ def mask_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
     x = pooled.reshape(B * D, cfg.mask_pooler_resolution,
                        cfg.mask_pooler_resolution, -1).astype(dtype)
     if qp is not None:
-        from .quant import qconv_unit
-        for i in range(cfg.mask_num_conv):
-            x = qconv_unit(x, qp[f"conv{i + 1}"], relu=True)
+        # streaming: conv_i's epilogue quantizes into conv_{i+1}'s int8
+        # domain, skipping the bf16 round-trip between quantized convs
+        from .quant import _quantize_act, qconv_int8_in
+        n = cfg.mask_num_conv
+        xq = _quantize_act(x.astype(jnp.float32), qp["conv1"]["sa"])
+        for i in range(n):
+            sa_out = qp[f"conv{i + 2}"]["sa"] if i + 1 < n else None
+            xq = qconv_int8_in(xq, qp[f"conv{i + 1}"], relu=True,
+                               sa_out=sa_out)
+        x = xq                                # bf16 after the last conv
     else:
         for i in range(cfg.mask_num_conv):
             p = params[f"conv{i + 1}"]

@@ -89,7 +89,9 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
     wh = jnp.maximum(rb - lt, 0)
     inter = wh[..., 0] * wh[..., 1]
     union = areas[:, None] + areas[None, :] - inter
-    iou = jnp.where(union > 0, inter / union, 0.0)
+    # iou > t  ⟺  inter > t·union (union ≥ 0, and union = 0 ⇒ inter = 0):
+    # division is the most expensive op in this O(N²) vector chain
+    overlap = inter > iou_thresh * union
 
     idx = jnp.arange(n)
     # rank(j) < rank(i) under stable descending sort: higher score, or
@@ -98,7 +100,7 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
         | ((scores[None, :] == scores[:, None])
            & (idx[None, :] < idx[:, None]))
     # M[i, j]: j (if kept) suppresses i
-    M = (iou > iou_thresh) & prior & (scores > NEG_INF / 2)[None, :]
+    M = overlap & prior & (scores > NEG_INF / 2)[None, :]
 
     def cond(carry):
         keep, prev = carry
@@ -137,13 +139,14 @@ def nms_sweep(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
     wh = jnp.maximum(rb - lt, 0)
     inter = wh[..., 0] * wh[..., 1]
     union = areas[:, None] + areas[None, :] - inter
-    iou = jnp.where(union > 0, inter / union, 0.0)
+    # divisionless overlap test (see nms_fixed): iou > t ⟺ inter > t·union
+    overlap = inter > iou_thresh * union
 
     idx = jnp.arange(n)
     higher = (scores[:, None] > scores[None, :]) \
         | ((scores[:, None] == scores[None, :]) & (idx[:, None] < idx[None, :]))
     valid_row = (scores > NEG_INF / 2)[:, None]
-    suppressed = jnp.any((iou > iou_thresh) & higher & valid_row, axis=0)
+    suppressed = jnp.any(overlap & higher & valid_row, axis=0)
     keep = ~suppressed
 
     kept_scores = jnp.where(keep & (scores > NEG_INF / 2), scores, NEG_INF)
