@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.nms import NEG_INF, batched_nms_fixed
+from ..ops.nms import NEG_INF, nms_fixed, nms_sweep
 from .anchors import apply_deltas, clip_boxes
 from .resnet import conv
 
@@ -73,16 +73,29 @@ def select_proposals(logits: list, deltas: list, anchors: list,
         all_boxes.append(boxes)
         all_scores.append(sc)
         all_lvl.append(jnp.full((B, k), l, jnp.int32))
-    boxes = jnp.concatenate(all_boxes, axis=1)
-    scores = jnp.concatenate(all_scores, axis=1)
-    lvls = jnp.concatenate(all_lvl, axis=1)
+    # Level-aware NMS, block-diagonal form: boxes on different levels never
+    # suppress each other, so the batched coordinate-offset NMS over the
+    # concatenated N = Σ k_l candidates (O(N²) pairs) decomposes EXACTLY
+    # into per-level NMS (Σ k_l² pairs — 5× fewer at equal level budgets)
+    # + a global top-k over each level's top-`post_nms_topk` survivors: a
+    # survivor in the global top-k is necessarily in its level's top-k.
+    # Tie ordering matches the concatenated form (level-major, then index).
+    nms_one = nms_sweep if fast_nms else nms_fixed
+    kept_boxes, kept_scores = [], []
+    for b_l, s_l in zip(all_boxes, all_scores):
+        k_out = min(post_nms_topk, b_l.shape[1])
 
-    def one(b, s, l):
-        top_s, keep = batched_nms_fixed(b, s, l, nms_thresh, post_nms_topk,
-                                        fast=fast_nms)
-        return b[keep], top_s
+        def one_level(b, s, _k=k_out):
+            top_s, keep_i = nms_one(b, s, nms_thresh, _k)
+            return b[keep_i], top_s
 
-    pboxes, pscores = jax.vmap(one)(boxes, scores, lvls)
+        kb, ks = jax.vmap(one_level)(b_l, s_l)
+        kept_boxes.append(kb)
+        kept_scores.append(ks)
+    boxes = jnp.concatenate(kept_boxes, axis=1)
+    scores = jnp.concatenate(kept_scores, axis=1)
+    pscores, top_i = jax.lax.top_k(scores, post_nms_topk)
+    pboxes = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
     return pboxes, pscores
 
 
