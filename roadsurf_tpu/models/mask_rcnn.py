@@ -40,18 +40,36 @@ def init_params(key, cfg: ModelConfig) -> dict:
     }
 
 
+def _bilinear_weights(src: int, dst: int) -> np.ndarray:
+    """(dst, src) separable bilinear resize matrix (half-pixel centers,
+    edge clamp — the jax.image.resize 'bilinear' convention, ≤2e-5
+    relative difference from its renormalized edge rows)."""
+    out = np.zeros((dst, src), np.float32)
+    for i in range(dst):
+        c = (i + 0.5) * src / dst - 0.5
+        f = np.floor(c)
+        w = c - f
+        i0 = int(np.clip(f, 0, src - 1))
+        i1 = int(np.clip(f + 1, 0, src - 1))
+        out[i, i0] += 1 - w
+        out[i, i1] += w
+    return out
+
+
 def preprocess(images: jnp.ndarray, cfg: ModelConfig,
                input_size: int) -> jnp.ndarray:
     """uint8/float (B, H, W, 3) -> normalized float (B, S, S, 3).
 
     Matches the reference chain: tiles are decoded at 256px and resized so
     the shorter side is MIN_SIZE_TEST (detectron2_config_3bands.yaml:30);
-    the fast profile keeps the native size (input_size == H).
-    """
+    the fast profile keeps the native size (input_size == H). The resize
+    runs as two static weight-matrix contractions (MXU) — jax.image.resize
+    lowers to gathers that cost ~17 ms/batch-16 at 800px on v5e."""
     x = images.astype(jnp.float32)
     if input_size != images.shape[1]:
-        x = jax.image.resize(
-            x, (x.shape[0], input_size, input_size, x.shape[3]), "bilinear")
+        w_mat = jnp.asarray(_bilinear_weights(images.shape[1], input_size))
+        x = jnp.einsum("yh,bhwc->bywc", w_mat, x)
+        x = jnp.einsum("xw,bywc->byxc", w_mat, x)
     mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
     std = jnp.asarray(cfg.pixel_std, jnp.float32)
     return (x - mean) / std
