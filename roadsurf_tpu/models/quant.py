@@ -208,37 +208,48 @@ def prepare_int8_params(params, images_u8, cfg, image_size: int | None = None):
 def resnet_forward_int8(qparams, images):
     """images: preprocessed f32 (B, H, W, 3); returns res2..res5 bf16.
 
-    Streaming form: the block input is quantized ONCE (conv1 and the
-    projection shortcut share that tensor and — enforced by
-    :func:`quantize_backbone` — its scale), conv1→conv2→conv3 links carry
-    int8 in the consumer's domain, and only the residual stream (conv3
-    epilogue + shortcut + relu) runs bf16. The stem streams straight into
-    res2[0]'s conv1 domain through an int8 max pool."""
+    Fully-streamed form: the RESIDUAL stream stays int8 too. The block
+    input is quantized once into its conv1 scale (the projection shortcut
+    shares that tensor and — enforced by :func:`quantize_backbone` — its
+    scale); conv1→conv2→conv3 links carry int8 in the consumer's domain;
+    the conv3 epilogue fuses rescale + shortcut add (dequantized from the
+    block-input int8 for identity blocks) + relu + REQUANTIZE into the
+    next block's conv1 domain, so within a stage no bf16 activation ever
+    touches HBM — at 256px the backbone is bandwidth-bound and the bf16
+    residual round-trips were ~40% of its traffic. Only each stage's
+    final output materializes bf16 (the FPN laterals' interface). The
+    stem streams straight into res2[0]'s conv1 domain through an int8
+    max pool."""
     stem = qparams["stem"]
     first = qparams["res2"][0]
     xq = _quantize_act(images.astype(jnp.float32), stem["sa"])
     x8 = qconv_int8_in(xq, stem, stride=2, relu=True,
                        sa_out=first["conv1"]["sa"])
     x8 = max_pool_i8(x8, 3, 2)
-    h = None                    # bf16 residual stream (set after block 0)
     feats = {}
-    for si, stage in enumerate(("res2", "res3", "res4", "res5")):
+    stages = ("res2", "res3", "res4", "res5")
+    for si, stage in enumerate(stages):
         first_stride = 1 if si == 0 else 2
-        for bi, bp in enumerate(qparams[stage]):
+        blocks = qparams[stage]
+        for bi, bp in enumerate(blocks):
             stride = first_stride if bi == 0 else 1
-            if x8 is None:      # identity blocks re-quantize the stream
-                x8 = _quantize_act(h.astype(jnp.float32), bp["conv1"]["sa"])
             t = qconv_int8_in(x8, bp["conv1"], stride=stride, relu=True,
                               sa_out=bp["conv2"]["sa"])
             t = qconv_int8_in(t, bp["conv2"], relu=True,
                               sa_out=bp["conv3"]["sa"])
             out = qconv_int8_in(t, bp["conv3"], relu=False)
-            sc = qconv_int8_in(x8, bp["shortcut"], stride=stride,
-                               relu=False) if "shortcut" in bp else h
-            h = jnp.maximum(out.astype(jnp.float32)
-                            + sc.astype(jnp.float32), 0.0).astype(jnp.bfloat16)
-            x8 = None
-        feats[stage] = h
+            if "shortcut" in bp:
+                sc = qconv_int8_in(x8, bp["shortcut"], stride=stride,
+                                   relu=False).astype(jnp.float32)
+            else:
+                sc = x8.astype(jnp.float32) * bp["conv1"]["sa"]
+            h = jnp.maximum(out.astype(jnp.float32) + sc, 0.0)
+            if bi + 1 < len(blocks):
+                x8 = _quantize_act(h, blocks[bi + 1]["conv1"]["sa"])
+            elif si + 1 < len(stages):
+                x8 = _quantize_act(h, qparams[stages[si + 1]][0]
+                                   ["conv1"]["sa"])
+        feats[stage] = h.astype(jnp.bfloat16)
     return feats
 
 

@@ -103,7 +103,14 @@ def _axis_weight_matrix(lo, bin_size, dim: int, stride: float,
 
 def _axis_weight_matrix_adaptive(lo, bin_size, dim: int, stride: float,
                                  out_size: int):
-    """Exact POOLER_SAMPLING_RATIO=0 weights in closed form, uncapped.
+    """Exact POOLER_SAMPLING_RATIO=0 weights at every cell of the axis."""
+    d = jnp.arange(dim, dtype=jnp.float32)
+    return _axis_weights_adaptive_at(lo, bin_size, d, dim, stride, out_size)
+
+
+def _axis_weights_adaptive_at(lo, bin_size, d, dim, stride, out_size: int):
+    """Exact POOLER_SAMPLING_RATIO=0 weights in closed form, uncapped,
+    evaluated at arbitrary cell positions ``d``.
 
     Adaptive sampling places n = ceil(bin cells) uniform samples per bin
     (spacing δ = bin/n), so the per-cell tent sum
@@ -114,12 +121,23 @@ def _axis_weight_matrix_adaptive(lo, bin_size, dim: int, stride: float,
     slots for elongated ROIs). Border clamping is a correction on cells 0
     and dim−1, where valid out-of-range samples (c ∈ [−1, 0) or
     (dim−1, dim]) collapse onto the edge cell with weight 1.
+
+    ``d``: float cell indices, (dim,) for the dense matrix or (B, R, N)
+    per-ROI positions (the rectangle-gather path); ``dim``/``stride`` are
+    scalars or (B, R) per-ROI arrays. Positions outside [0, dim) return
+    weight 0. Result broadcasts to (B, R, out_size, d[-1]).
     """
     P = out_size
     p = jnp.arange(P, dtype=jnp.float32)
-    d = jnp.arange(dim, dtype=jnp.float32)
+    if d.ndim > 1:
+        d = d[..., None, :]                                   # (B, R, 1, N)
+    dim = jnp.asarray(dim, jnp.float32)
+    if dim.ndim:
+        dim = dim[..., None, None]                            # (B, R, 1, 1)
+    if not isinstance(stride, float):
+        stride = stride[..., None]                            # (B, R, 1)
 
-    bins = bin_size[..., None] / stride                       # (B, R, 1)
+    bins = bin_size[..., None] / stride                       # (B, R, P|1)
     n = jnp.maximum(jnp.ceil(bins), 1.0)
     delta_t = bins / n                                        # true spacing
     delta = jnp.where(delta_t > 0, delta_t, 1.0)              # guarded
@@ -157,13 +175,144 @@ def _axis_weight_matrix_adaptive(lo, bin_size, dim: int, stride: float,
                       jnp.ceil(t(0.0)) - 1.0)                 # c < 0
     corr0 = mb0 - (sb0 + mb0)                                 # 1 − (1 + c)
     mbt, sbt = series(jnp.floor(t(dim - 1.0)) + 1.0,          # c > dim−1
-                      jnp.floor(t(float(dim))))               # c <= dim
+                      jnp.floor(t(dim)))                      # c <= dim
     corrt = sbt - mbt * (dim - 1.0)                           # c − (dim−1)
 
     w = part1 + part2
     w = w + jnp.where(d == 0.0, corr0, 0.0)
-    w = w + jnp.where(d == float(dim - 1), corrt, 0.0)
-    return w / nn
+    w = w + jnp.where(d == dim - 1.0, corrt, 0.0)
+    return jnp.where((d >= 0.0) & (d <= dim - 1.0), w / nn, 0.0)
+
+
+def _axis_weights_at(lo, bin_size, d, dim, stride, out_size: int,
+                     sampling: int):
+    """Per-ROI axis weights at arbitrary cell positions ``d`` (B, R, N);
+    ``dim``/``stride`` are (B, R) per-ROI arrays (the ROI's assigned
+    level). Returns (B, R, out_size, N); positions outside [0, dim) get
+    weight 0. Fixed-``sampling`` tent sum, or the exact closed-form
+    adaptive series for ``sampling == 0``."""
+    if sampling == 0:
+        return _axis_weights_adaptive_at(lo, bin_size, d, dim, stride,
+                                         out_size)
+    P = out_size
+    p = jnp.arange(P, dtype=jnp.float32)
+    dd = d[..., None, :]                                      # (B, R, 1, N)
+    dimb = dim[..., None, None]
+    m = jnp.zeros(dd.shape[:-2] + (P, dd.shape[-1]), jnp.float32)
+    for s in range(sampling):
+        u = (s + 0.5) / sampling
+        c = (lo[..., None] + (p + u) * bin_size[..., None]) \
+            / stride[..., None] - 0.5                          # (B, R, P)
+        valid = (c >= -1.0) & (c <= dimb[..., 0])
+        cc = jnp.clip(c, 0.0, dimb[..., 0] - 1.0)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(cc[..., None] - dd))
+        m = m + jnp.where(valid[..., None], w, 0.0)
+    return jnp.where((dd >= 0.0) & (dd <= dimb - 1.0), m / sampling, 0.0)
+
+
+def _rect_slot_budget(sizes, canonical_size: int, canonical_level: int,
+                      min_level: int) -> int:
+    """Static per-ROI cell budget for the rectangle-gather path.
+
+    The FPN level assignment bounds each ROI's footprint at its assigned
+    level: a box lands at level l (below the top) only while
+    sqrt(area) < canonical_size·2^(l−canonical_level+1) px, so its cell
+    count area/4^l is < canonical²·4^(1−canonical_level) — independent of
+    l (784 cells for the 224/4 defaults). At the clamped top level the
+    image clip bounds it by H_top·W_top. The bilinear taps add ≤ 2 cells
+    per axis; with span_y·span_x ≤ A and span_y ≤ H, span_x ≤ W the
+    padded product (span_y+2)(span_x+2) maximizes at an endpoint of the
+    hyperbola — scanned numerically below.
+    """
+    prod_nontop = float(canonical_size ** 2) * 4.0 ** (1 - canonical_level)
+    worst = 0.0
+    for li, (H, W) in enumerate(sizes):
+        a_bound = float(H * W) if li == len(sizes) - 1 else prod_nontop
+        for sy in (1.0, a_bound / W, np.sqrt(a_bound), float(H)):
+            sy = min(max(sy, 1.0), float(H), a_bound)
+            sx = min(a_bound / sy, float(W))
+            worst = max(worst, (sy + 2.0) * (sx + 2.0))
+    return int(-(-worst // 128) * 128)
+
+
+def _roi_align_rect_gather(feats, boxes, lvl, out_size, sampling, min_level,
+                           canonical_size=224, canonical_level=4):
+    """Exact rectangle-gather path for large feature maps (800px parity).
+
+    The separable-matmul path materializes a (R, P, W, C) intermediate per
+    level per image (~1.3 GB/image at 800px/R=1000) and contracts every
+    ROI against every level's full width — ~43 GB of HBM traffic per
+    batch-16. This path instead gathers, per ROI, ONLY the feature cells
+    its bilinear taps touch: the level assignment bounds that rectangle's
+    area (see :func:`_rect_slot_budget`, ~1.2k cells at 800px) even though
+    either axis alone is unbounded (elongated road boxes). Each ROI's
+    rectangle is enumerated into a static slot budget, gathered from its
+    assigned level, and contracted against the exact closed-form weights
+    evaluated at the gathered cell positions — same semantics as the
+    separable path (asserted in tests/test_model.py), ~5× less traffic.
+    """
+    B, R = boxes.shape[:2]
+    P = out_size
+    C = feats[0].shape[-1]
+    sizes = [(f.shape[1], f.shape[2]) for f in feats]
+    N = _rect_slot_budget(sizes, canonical_size, canonical_level, min_level)
+
+    flat = jnp.concatenate([f.reshape(B, -1, C) for f in feats], axis=1)
+    offs_np = np.concatenate(
+        [[0], np.cumsum([h * w for h, w in sizes])]).astype(np.int32)
+    stride = jnp.asarray([2.0 ** (min_level + i) for i in range(len(feats))],
+                         jnp.float32)[lvl]                    # (B, R)
+    Hl = jnp.asarray([h for h, _ in sizes], jnp.float32)[lvl]
+    Wl = jnp.asarray([w for _, w in sizes], jnp.float32)[lvl]
+    off = jnp.asarray(offs_np[:-1], jnp.int32)[lvl]
+
+    x0, y0 = boxes[..., 0], boxes[..., 1]
+    x1, y1 = boxes[..., 2], boxes[..., 3]
+
+    def tap_range(a0, a1, dim):
+        # tap cells span [floor(c_first), floor(c_last)+1] clamped; the
+        # sample train lies inside [a0/stride−0.5, a1/stride−0.5]
+        t0 = jnp.clip(jnp.floor(a0 / stride - 0.5), 0.0, dim - 1.0)
+        t1 = jnp.clip(jnp.floor(a1 / stride - 0.5) + 1.0, 0.0, dim - 1.0)
+        return t0, (t1 - t0).astype(jnp.int32) + 1
+
+    t0y, hy = tap_range(y0, y1, Hl)
+    t0x, wx = tap_range(x0, x1, Wl)
+
+    # slot k -> (ky, kx) = (k // wx, k % wx), exact via f32 reciprocal
+    # plus one integer correction step (k, wx <= a few thousand)
+    k = jnp.arange(N, dtype=jnp.int32)
+    ky = jnp.floor((k.astype(jnp.float32) + 0.5)
+                   * (1.0 / wx.astype(jnp.float32))[..., None]
+                   ).astype(jnp.int32)                        # (B, R, N)
+    rem = k - ky * wx[..., None]
+    ky = ky + (rem >= wx[..., None]) - (rem < 0)
+    kx = k - ky * wx[..., None]
+    valid = ky < hy[..., None]
+    dy = t0y[..., None].astype(jnp.int32) + ky
+    dx = t0x[..., None].astype(jnp.int32) + kx
+    idx = jnp.where(valid,
+                    off[..., None] + dy * Wl.astype(jnp.int32)[..., None]
+                    + dx, 0)
+
+    bh = (y1 - y0) / P
+    bw = (x1 - x0) / P
+    wyv = _axis_weights_at(y0, bh, dy.astype(jnp.float32), Hl, stride, P,
+                           sampling)
+    wxv = _axis_weights_at(x0, bw, dx.astype(jnp.float32), Wl, stride, P,
+                           sampling)
+    wyv = jnp.where(valid[..., None, :], wyv, 0.0).astype(flat.dtype)
+    wxv = wxv.astype(flat.dtype)
+
+    def per_image(args):
+        flat_i, idx_i, wy_i, wx_i = args
+        G = jnp.take(flat_i, idx_i.reshape(-1), axis=0)
+        G = G.reshape(idx_i.shape + (C,))                     # (R, N, C)
+        w2 = wy_i[:, :, None, :] * wx_i[:, None, :, :]        # (R, P, P, N)
+        return jnp.einsum("rpqn,rnc->rpqc", w2, G,
+                          preferred_element_type=jnp.float32)
+
+    return jax.lax.map(per_image, (flat, idx, wyv, wxv))
 
 
 def _roi_align_separable(feats, boxes, lvl, out_size, sampling, min_level,
@@ -348,5 +497,13 @@ def roi_align_multilevel(feats: list, boxes: jnp.ndarray, out_size: int,
     if use_gather:
         return _roi_align_gather(feats, boxes, lvl, out_size, sampling,
                                  min_level, chunk)
+    if use_pallas and feats[0].shape[1] * feats[0].shape[2] \
+            > _MATMUL_PATH_MAX_HW:
+        from .roi_align_pallas import roi_align_fused_blocked
+        return roi_align_fused_blocked(tuple(feats), boxes, out_size,
+                                       sampling=sampling,
+                                       canonical_size=canonical_size,
+                                       canonical_level=canonical_level,
+                                       min_level=min_level)
     return _roi_align_separable(feats, boxes, lvl, out_size, sampling,
                                 min_level)

@@ -39,11 +39,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype):
+def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype,
+                 rbx=None):
+    """rbx: ROI sub-block size for the x-contraction. The block-diagonal
+    x-matmul computes (P·RB)×(Wb·RB)×(P·C) flops of which only 1/RB are
+    useful (the off-diagonal ROI pairs are zeros); splitting the ROI axis
+    into RB/rbx independent sub-blocks cuts that waste to 1/rbx — at
+    RB=32/rbx=8 the box pooler's x-flops drop 4×. Row order becomes
+    (sub, bin, roi) so every sub-block is a contiguous row range of wy,
+    t1, t1t and acc."""
+    RBX = rbx or RB
+    S = RB // RBX
+
     def kernel(cols_ref, *refs):
         feat_refs = refs[:-2]
         out_ref, t1t_ref = refs[-2], refs[-1]
-        rows = P * RB                                   # row order (bin, r)
+        rows = P * RB                              # row order (sub, bin, r)
         cols = cols_ref[0]                              # (rows, 8) f32
         x0r = cols[:, 0:1]
         bwr = cols[:, 1:2]
@@ -51,15 +62,16 @@ def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype):
         bhr = cols[:, 3:4]
         lvlr = cols[:, 4:5]
         rowi = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        binf = (rowi // RB).astype(jnp.float32)         # bin index per row
+        binf = ((rowi // RBX) % P).astype(jnp.float32)  # bin index per row
 
-        acc = jnp.zeros((rows, P * C), jnp.float32)     # rows (q=x-bin, r)
+        # one accumulator per x sub-block, rows (q=x-bin, r')
+        acc = [jnp.zeros((P * RBX, P * C), jnp.float32) for _ in range(S)]
 
         for li, ((H, W), stride) in enumerate(zip(sizes, strides)):
             Wb = wb_sizes[li]
             f = feat_refs[li][0]                        # (H, W*C) lane-flat
 
-            # y-axis weights, rows (p, r): closed-form ROIAlignV2 taps
+            # y-axis weights, rows (sub, p, r): closed-form ROIAlignV2 taps
             h = jax.lax.broadcasted_iota(jnp.int32, (rows, H), 1
                                          ).astype(jnp.float32)
             wy = jnp.zeros((rows, H), jnp.float32)
@@ -73,56 +85,70 @@ def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype):
             wy = jnp.where(lvlr == float(li), wy / sampling, 0.0)
             wy = wy.astype(jnp.bfloat16)
 
-            # block-diagonal x-weight scaffolding, cols indexed (w, r)
+            # block-diagonal x-weight scaffolding per sub-block, cols
+            # indexed (w, r') within the sub
+            srows = P * RBX
             col_w = jax.lax.broadcasted_iota(
-                jnp.int32, (rows, Wb * RB), 1) // RB
+                jnp.int32, (srows, Wb * RBX), 1) // RBX
             col_r = jax.lax.broadcasted_iota(
-                jnp.int32, (rows, Wb * RB), 1) % RB
+                jnp.int32, (srows, Wb * RBX), 1) % RBX
             row_r = jax.lax.broadcasted_iota(
-                jnp.int32, (rows, Wb * RB), 0) % RB
+                jnp.int32, (srows, Wb * RBX), 0) % RBX
             w_off = col_w.astype(jnp.float32)
             diag = row_r == col_r
 
             for wbi in range(W // Wb):
                 w0 = wbi * Wb
-                # t1 = wy @ f[:, w-block] -> (P*RB, Wb*C), rows (p, r);
+                # t1 = wy @ f[:, w-block] -> (P*RB, Wb*C), rows (sub, p, r);
                 # the w-block is a pure lane slice of the (H, W*C) layout
                 fb = f[:, w0 * C:(w0 + Wb) * C]
                 t1 = jax.lax.dot_general(
                     wy, fb.astype(jnp.bfloat16),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-                # relayout rows (p,r) x cols (w,c) -> rows (w,r) x cols
-                # (p,c): P*Wb static contiguous (RB, C) block copies
+                # relayout rows (s,p,r') x cols (w,c) -> rows (s,w,r') x
+                # cols (p,c): S*P*Wb static contiguous (RBX, C) block copies
+                for sb in range(S):
+                    for p in range(P):
+                        tp = t1[(sb * P + p) * RBX:(sb * P + p + 1) * RBX]
+                        for w in range(Wb):
+                            t1t_ref[(sb * Wb + w) * RBX:
+                                    (sb * Wb + w + 1) * RBX,
+                                    p * C:(p + 1) * C] = \
+                                tp[:, w * C:(w + 1) * C]
+
+                for sb in range(S):
+                    r0 = sb * srows
+                    wxbd = jnp.zeros((srows, Wb * RBX), jnp.float32)
+                    for s in range(sampling):
+                        c = (x0r[r0:r0 + srows]
+                             + (binf[r0:r0 + srows]
+                                + (s + 0.5) / sampling)
+                             * bwr[r0:r0 + srows]) / stride - 0.5
+                        valid = (c >= -1.0) & (c <= float(W))
+                        cc = jnp.clip(c, 0.0, float(W) - 1.0)
+                        w = jnp.maximum(0.0,
+                                        1.0 - jnp.abs(cc - (w_off + w0)))
+                        wxbd = wxbd + jnp.where(valid & diag, w, 0.0)
+                    wxbd = (wxbd / sampling).astype(jnp.bfloat16)
+
+                    part = jax.lax.dot_general(
+                        wxbd,
+                        t1t_ref[sb * Wb * RBX:(sb + 1) * Wb * RBX, :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc[sb] = acc[sb] + part
+
+        # acc[sb] rows (q=x-bin, r'), cols (p=y-bin, c); out rows
+        # r = sub*RBX + r', flat cols (p, q, c) — static (RBX, C) copies
+        for sb in range(S):
+            accv = acc[sb].astype(out_dtype)
+            for q in range(P):
+                blk = accv[q * RBX:(q + 1) * RBX]       # (RBX, P*C)
                 for p in range(P):
-                    tp = t1[p * RB:(p + 1) * RB]        # (RB, Wb*C)
-                    for w in range(Wb):
-                        t1t_ref[w * RB:(w + 1) * RB, p * C:(p + 1) * C] = \
-                            tp[:, w * C:(w + 1) * C]
-                t1t = t1t_ref[0:Wb * RB, :]
-
-                wxbd = jnp.zeros((rows, Wb * RB), jnp.float32)
-                for s in range(sampling):
-                    c = (x0r + (binf + (s + 0.5) / sampling) * bwr) \
-                        / stride - 0.5
-                    valid = (c >= -1.0) & (c <= float(W))
-                    cc = jnp.clip(c, 0.0, float(W) - 1.0)
-                    w = jnp.maximum(0.0, 1.0 - jnp.abs(cc - (w_off + w0)))
-                    wxbd = wxbd + jnp.where(valid & diag, w, 0.0)
-                wxbd = (wxbd / sampling).astype(jnp.bfloat16)
-
-                acc = acc + jax.lax.dot_general(
-                    wxbd, t1t, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-
-        # acc rows (q=x-bin, r), cols (p=y-bin, c); out rows r, flat cols
-        # (p, q, c) — again via static contiguous (RB, C) block copies
-        accv = acc.astype(out_dtype)
-        for q in range(P):
-            blk = accv[q * RB:(q + 1) * RB]             # (RB, P*C)
-            for p in range(P):
-                out_ref[0, :, (p * P + q) * C:(p * P + q + 1) * C] = \
-                    blk[:, p * C:(p + 1) * C]
+                    out_ref[0, sb * RBX:(sb + 1) * RBX,
+                            (p * P + q) * C:(p * P + q + 1) * C] = \
+                        blk[:, p * C:(p + 1) * C]
 
     return kernel
 
@@ -141,11 +167,11 @@ def pick_rb(R: int, P: int = 7) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "out_size", "sampling", "canonical_size", "canonical_level",
-    "min_level", "out_dtype", "interpret"))
+    "min_level", "out_dtype", "interpret", "rbx"))
 def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
                     canonical_size: int = 224, canonical_level: int = 4,
                     min_level: int = 2, out_dtype=jnp.float32,
-                    interpret: bool = False):
+                    interpret: bool = False, rbx: int | None = None):
     """Fused Pallas multilevel RoIAlign.
 
     feats: tuple of (B, H_l, W_l, C) NHWC tensors (P2..); boxes (B, R, 4)
@@ -182,15 +208,20 @@ def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
     lvl = jnp.floor(float(canonical_level)
                     + jnp.log2(jnp.sqrt(area) / canonical_size + 1e-8))
     lvl = jnp.clip(lvl, min_level, min_level + len(feats) - 1) - min_level
+    if rbx is None:
+        rbx = 16 if RB % 16 == 0 else RB
+    S = RB // rbx
     zero = jnp.zeros_like(x0)
     cols = jnp.stack([x0, bw, y0, bh, lvl.astype(jnp.float32),
                       zero, zero, zero], axis=-1).astype(jnp.float32)
-    cols = cols.reshape(B, nj, 1, RB, 8)
-    cols = jnp.broadcast_to(cols, (B, nj, P, RB, 8))
+    # row order (sub, bin, roi') — each x-contraction sub-block is then a
+    # contiguous row range (see _make_kernel's rbx note)
+    cols = cols.reshape(B, nj, S, 1, rbx, 8)
+    cols = jnp.broadcast_to(cols, (B, nj, S, P, rbx, 8))
     cols = cols.reshape(B, nj * P * RB, 8)
 
     kern = _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes,
-                        out_dtype)
+                        out_dtype, rbx=rbx)
 
     rows = P * RB
     in_specs = [pl.BlockSpec((1, rows, 8), lambda b, j: (b, j, 0),

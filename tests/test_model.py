@@ -409,3 +409,54 @@ def test_nms_jacobi_equals_scan_on_chains_and_random():
         np.testing.assert_array_equal(np.asarray(ji)[kept],
                                       np.asarray(si)[kept],
                                       err_msg=f"trial {trial}")
+
+
+def test_roi_align_rect_gather_matches_separable():
+    """The rectangle-gather path (large feature maps, 800px parity) must
+    reproduce the exact separable path on adversarial road geometry:
+    long-thin boxes both orientations, tiny, edge-clamped, full-image.
+    Also asserts the static slot budget covers every tap rectangle (the
+    level-assignment area bound of ops/roi_align._rect_slot_budget)."""
+    from roadsurf_tpu.ops.roi_align import (
+        _level_assignment, _rect_slot_budget, _roi_align_rect_gather,
+        _roi_align_separable)
+
+    rng = np.random.default_rng(11)
+    B, R, C, S = 2, 40, 8, 352
+    sizes = [(S // 2 ** l, S // 2 ** l) for l in range(2, 6)]
+    feats = [jnp.asarray(rng.normal(size=(B, h, w, C)).astype(np.float32))
+             for h, w in sizes]
+
+    def batch_boxes():
+        bs = [[0.0, 0.0, S, S], [0.0, 100.0, S, 106.0],     # full, h-road
+              [40.0, 0.0, 43.0, S], [0.0, 0.0, 2.0, 2.0],   # v-road, corner
+              [5.0, 5.0, 5.6, 6.1], [0.0, 0.0, S, 9.0]]     # tiny, wide
+        for _ in range(R - len(bs)):
+            x0, y0 = rng.uniform(0, S - 2, 2)
+            bs.append([x0, y0, min(S, x0 + rng.uniform(0.5, S / 2)),
+                       min(S, y0 + rng.uniform(0.5, S / 2))])
+        return bs
+
+    boxes = jnp.asarray(np.asarray([batch_boxes() for _ in range(B)],
+                                   np.float32))
+    lvl = _level_assignment(boxes, 224, 4, 2, 5)
+
+    # budget sufficiency: tap rectangle of every box fits the static slots
+    budget = _rect_slot_budget(sizes, 224, 4, 2)
+    strides = np.asarray([4.0, 8.0, 16.0, 32.0])[np.asarray(lvl)]
+    dims = np.asarray([h for h, _ in sizes], np.float64)[np.asarray(lvl)]
+    bx = np.asarray(boxes, np.float64)
+
+    def span(a0, a1):
+        t0 = np.clip(np.floor(a0 / strides - 0.5), 0, dims - 1)
+        t1 = np.clip(np.floor(a1 / strides - 0.5) + 1, 0, dims - 1)
+        return t1 - t0 + 1
+
+    prod = span(bx[..., 1], bx[..., 3]) * span(bx[..., 0], bx[..., 2])
+    assert prod.max() <= budget, (prod.max(), budget)
+
+    for sampling in (0, 2):
+        ref = _roi_align_separable(feats, boxes, lvl, 7, sampling, 2)
+        got = _roi_align_rect_gather(feats, boxes, lvl, 7, sampling, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
