@@ -159,6 +159,20 @@ def forward_inference(params: dict, images: jnp.ndarray, cfg: ModelConfig,
             dets["mask_probs_u8"] = jnp.round(
                 jax.nn.sigmoid(masks.astype(jnp.float32)) * 255.0
             ).astype(jnp.uint8)
+        if mask_format == "bits":
+            # threshold at 0.5 ON DEVICE (sigmoid(x) >= 0.5 <=> x >= 0) and
+            # bit-pack: 98 bytes/detection, 8x less d2h than u8 — for
+            # latency/bandwidth-constrained links. Deviation from the
+            # reference: it thresholds AFTER bilinear paste; binarizing at
+            # 28x28 shifts boundaries <= half a mask cell (pipeline F1
+            # within noise — BASELINE.md ablation). Host unpacks with
+            # np.unpackbits(bitorder="little").
+            B2, D2 = masks.shape[:2]
+            bits = (masks.astype(jnp.float32) >= 0.0).reshape(
+                B2, D2, -1, 8).astype(jnp.uint8)
+            weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+            dets["mask_bits"] = jnp.sum(bits * weights, axis=-1,
+                                        dtype=jnp.uint8)
 
     # report boxes in native tile coordinates
     scale = native / S

@@ -34,6 +34,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -165,6 +166,323 @@ def pick_rb(R: int, P: int = 7) -> int:
     return 0
 
 
+def _adaptive_weights_rows(lo, bins, binf, d, dim: float):
+    """Closed-form POOLER_SAMPLING_RATIO=0 weights, in-kernel form.
+
+    Per-row scalars lo/bins (ROI edge and bin size, feature cells,
+    (rows, 1)), binf (bin index per row), evaluated at cell positions
+    ``d`` (rows, X). Same series as ops/roi_align._axis_weights_adaptive_at
+    (see its derivation); elementwise VPU ops only.
+    """
+    n = jnp.maximum(jnp.ceil(bins), 1.0)
+    delta_t = bins / n
+    delta = jnp.where(delta_t > 0, delta_t, 1.0)
+    A = lo + binf * bins - 0.5 + 0.5 * (delta_t - delta)      # (rows, 1)
+
+    def t(x):
+        return (x - A) / delta - 0.5
+
+    def series(i0, i1):
+        i0c = jnp.maximum(i0, 0.0)
+        i1c = jnp.minimum(i1, n - 1.0)
+        m = jnp.maximum(i1c - i0c + 1.0, 0.0)
+        si = 0.5 * (i0c + i1c) * m
+        return m, jnp.where(m > 0, m * (A + 0.5 * delta) + delta * si, 0.0)
+
+    hi1 = jnp.floor(t(d))
+    m1, s1 = series(jnp.floor(t(d - 1.0)) + 1.0, hi1)
+    part1 = s1 - m1 * (d - 1.0)
+    m2, s2 = series(hi1 + 1.0, jnp.floor(t(d + 1.0)))
+    part2 = m2 * (d + 1.0) - s2
+    mb0, sb0 = series(jnp.ceil(t(-1.0)), jnp.ceil(t(0.0)) - 1.0)
+    corr0 = -sb0
+    mbt, sbt = series(jnp.floor(t(dim - 1.0)) + 1.0, jnp.floor(t(dim)))
+    corrt = sbt - mbt * (dim - 1.0)
+    w = part1 + part2
+    w = w + jnp.where(d == 0.0, corr0, 0.0)
+    w = w + jnp.where(d == dim - 1.0, corrt, 0.0)
+    return jnp.where((d >= 0.0) & (d <= dim - 1.0), w / n, 0.0)
+
+
+def _axis_rows_weights(lo_px, bin_px, binf, d, stride: float, dim: int,
+                       sampling: int):
+    """Dispatch: tent-loop for fixed ``sampling``, closed-form series for
+    adaptive (0). lo_px/bin_px in image pixels, (rows, 1)."""
+    if sampling == 0:
+        return _adaptive_weights_rows(lo_px / stride, bin_px / stride,
+                                      binf, d, float(dim))
+    w_sum = None
+    for s in range(sampling):
+        c = (lo_px + (binf + (s + 0.5) / sampling) * bin_px) / stride - 0.5
+        valid = (c >= -1.0) & (c <= float(dim))
+        cc = jnp.clip(c, 0.0, float(dim) - 1.0)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(cc - d))
+        w = jnp.where(valid, w, 0.0)
+        w_sum = w if w_sum is None else w_sum + w
+    return w_sum / sampling
+
+
+def _make_blocked_kernel(sizes, strides, P, RB, C, sampling, wb_sizes,
+                         out_dtype, rbx, wb_offs, hpads):
+    """Kernel for large feature maps (800px parity): feature levels stay
+    in HBM and each (level, w-block) slice is DMA'd into VMEM only when
+    the host-computed touch bitmap says an ROI of this block needs it —
+    with ROIs sorted by (level, x) most (j, wb) pairs are untouched and
+    their DMA + y-matmul + relayout + x-matmul are all skipped."""
+    RBX = rbx
+    S = RB // RBX
+    srows = P * RBX
+
+    def kernel(bits_ref, cols_ref, *refs):
+        feat_refs = refs[:len(sizes)]
+        out_ref = refs[len(sizes)]
+        t1t_ref, acc_ref, fscr_refs, sem = (
+            refs[len(sizes) + 1], refs[len(sizes) + 2],
+            refs[len(sizes) + 3:-1], refs[-1])
+        b = pl.program_id(0)
+        j = pl.program_id(1)
+        rows = P * RB
+        cols = cols_ref[0]
+        x0r = cols[:, 0:1]
+        bwr = cols[:, 1:2]
+        y0r = cols[:, 2:3]
+        bhr = cols[:, 3:4]
+        lvlr = cols[:, 4:5]
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        binf = ((rowi // RBX) % P).astype(jnp.float32)
+
+        acc_ref[...] = jnp.zeros((rows, P * C), jnp.float32)
+
+        for li, ((H, W), stride) in enumerate(zip(sizes, strides)):
+            Wb = wb_sizes[li]
+            Hp = hpads[li]
+            fscr = fscr_refs[li]
+
+            # iota over the 8-aligned padded height; the weight mask
+            # (d <= H-1) zeroes the pad rows
+            h = jax.lax.broadcasted_iota(jnp.int32, (rows, Hp), 1
+                                         ).astype(jnp.float32)
+            wy = _axis_rows_weights(y0r, bhr, binf, h, stride, H, sampling)
+            wy = jnp.where(lvlr == float(li), wy, 0.0).astype(jnp.bfloat16)
+
+            # block-diag scaffolding (once per level): expansion matrix
+            # E[w, w'*RBX+r'] = (w == w') and the diagonal mask
+            # M[row, col] = (row % RBX == col % RBX) — wx is evaluated on
+            # the COMPACT (srows, Wb) grid and expanded by one tiny MXU
+            # matmul, not series-evaluated on the full block-diag grid
+            E = (jax.lax.broadcasted_iota(jnp.int32, (Wb, Wb * RBX), 1)
+                 // RBX == jax.lax.broadcasted_iota(
+                     jnp.int32, (Wb, Wb * RBX), 0)).astype(jnp.bfloat16)
+            M = (jax.lax.broadcasted_iota(
+                jnp.int32, (srows, Wb * RBX), 0) % RBX
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (srows, Wb * RBX), 1) % RBX
+            ).astype(jnp.bfloat16)
+            wcomp = jax.lax.broadcasted_iota(
+                jnp.int32, (srows, Wb), 1).astype(jnp.float32)
+
+            # dynamic w-block loop: a Python unroll here multiplies the
+            # kernel's instruction count by n_wb (~40 at 800px; >20 min
+            # Mosaic compiles); fori_loop keeps one body per level
+            def wb_body(wbi, _, li=li, Wb=Wb, fscr=fscr, wy=wy, E=E, M=M,
+                        wcomp=wcomp, H=H, W=W, stride=stride):
+                w0 = wbi * Wb
+                bit = bits_ref[b, j, wb_offs[li] + wbi]
+
+                @pl.when(bit != 0)
+                def _do():
+                    dma = pltpu.make_async_copy(
+                        feat_refs[li].at[b, :, pl.ds(w0 * C, Wb * C)],
+                        fscr, sem)
+                    dma.start()
+                    dma.wait()
+                    t1 = jax.lax.dot_general(
+                        wy, fscr[...].astype(jnp.bfloat16),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+                    for sb in range(S):
+                        for p in range(P):
+                            tp = t1[(sb * P + p) * RBX:
+                                    (sb * P + p + 1) * RBX]
+                            for w in range(Wb):
+                                t1t_ref[(sb * Wb + w) * RBX:
+                                        (sb * Wb + w + 1) * RBX,
+                                        p * C:(p + 1) * C] = \
+                                    tp[:, w * C:(w + 1) * C]
+                    for sb in range(S):
+                        r0 = sb * srows
+                        wxc = _axis_rows_weights(
+                            x0r[r0:r0 + srows], bwr[r0:r0 + srows],
+                            binf[r0:r0 + srows],
+                            wcomp + w0.astype(jnp.float32),
+                            stride, W, sampling)
+                        wxc = jnp.where(
+                            lvlr[r0:r0 + srows] == float(li), wxc, 0.0)
+                        wxbd = jax.lax.dot_general(
+                            wxc.astype(jnp.bfloat16), E,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                        ).astype(jnp.bfloat16) * M
+                        part = jax.lax.dot_general(
+                            wxbd,
+                            t1t_ref[sb * Wb * RBX:(sb + 1) * Wb * RBX, :],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        acc_ref[r0:r0 + srows, :] = \
+                            acc_ref[r0:r0 + srows, :] + part
+                return 0
+
+            jax.lax.fori_loop(0, W // Wb, wb_body, 0)
+
+        for sb in range(S):
+            accv = acc_ref[sb * srows:(sb + 1) * srows, :].astype(out_dtype)
+            for q in range(P):
+                blk = accv[q * RBX:(q + 1) * RBX]
+                for p in range(P):
+                    out_ref[0, sb * RBX:(sb + 1) * RBX,
+                            (p * P + q) * C:(p * P + q + 1) * C] = \
+                        blk[:, p * C:(p + 1) * C]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "out_size", "sampling", "canonical_size", "canonical_level",
+    "min_level", "out_dtype", "interpret", "rbx"))
+def roi_align_fused_blocked(feats, boxes, out_size: int, sampling: int = 0,
+                            canonical_size: int = 224,
+                            canonical_level: int = 4, min_level: int = 2,
+                            out_dtype=jnp.bfloat16, interpret: bool = False,
+                            rbx: int = 16):
+    """Fused Pallas multilevel RoIAlign for LARGE feature maps.
+
+    Same semantics as :func:`roi_align_fused` (plus exact sampling=0
+    adaptive weights via the closed-form series), but feature levels stay
+    in HBM: ROIs are sorted by (level, x-position), a host-side bitmap
+    marks which (ROI-block, level, w-block) pairs any ROI touches, and the
+    kernel DMAs + contracts only those — the XLA separable path's (R, P,
+    W, C) HBM intermediates (~43 GB/batch at 800px/R=1000) never exist,
+    and untouched w-blocks cost nothing. Results are scattered back to the
+    caller's ROI order. Exactness vs the XLA paths is asserted in
+    tests/test_model.py.
+    """
+    B, R_in = boxes.shape[:2]
+    P = out_size
+    C = feats[0].shape[-1]
+    sizes = tuple((f.shape[1], f.shape[2]) for f in feats)
+    strides = tuple(float(2 ** (min_level + i)) for i in range(len(feats)))
+
+    # sort ROIs by (level, x0) so blocks are level-pure and x-local
+    area = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0.0) \
+        * jnp.maximum(boxes[..., 3] - boxes[..., 1], 0.0)
+    lvl = jnp.floor(float(canonical_level)
+                    + jnp.log2(jnp.sqrt(area) / canonical_size + 1e-8))
+    lvl = jnp.clip(lvl, min_level, min_level + len(feats) - 1) - min_level
+    key = lvl.astype(jnp.float32) * 1e6 + boxes[..., 0]
+    order = jnp.argsort(key, axis=1)
+    boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    lvl = jnp.take_along_axis(lvl.astype(jnp.int32), order, axis=1)
+
+    RB = min(64, pick_rb(R_in, P) or 64)
+    R = R_in
+    if R % RB:
+        R = -(-R // RB) * RB
+        boxes = jnp.concatenate(
+            [boxes, jnp.zeros((B, R - R_in, 4), boxes.dtype)], axis=1)
+        lvl = jnp.concatenate(
+            [lvl, jnp.zeros((B, R - R_in), jnp.int32)], axis=1)
+    rbx = min(rbx, RB)
+    nj = R // RB
+    S = RB // rbx
+    # largest divisor of W that is <= 16: the w-block loop tiles W
+    # exactly (W=200 at 800px -> Wb=10; truncation would silently
+    # drop the tail cells)
+    wb_sizes = tuple(max(d for d in range(1, 17) if w % d == 0)
+                     for _, w in sizes)
+    n_wb = tuple(w // wb for (_, w), wb in zip(sizes, wb_sizes))
+    wb_offs = tuple(int(np.sum(n_wb[:i])) for i in range(len(sizes)))
+
+    # touch bitmap (B, nj, total w-blocks): x tap-range overlap per level
+    l_of = np.concatenate([np.full(n, i) for i, n in enumerate(n_wb)]) \
+        if sum(n_wb) else np.zeros(0)
+    w_of = np.concatenate([np.arange(n) for n in n_wb])
+    st_of = np.asarray([strides[i] for i in l_of], np.float32)
+    wb_of = np.asarray([wb_sizes[i] for i in l_of], np.float32)
+    Wl_of = np.asarray([sizes[i][1] for i in l_of], np.float32)
+    t0x = jnp.clip(jnp.floor(boxes[..., 0:1] / st_of - 0.5), 0.0,
+                   Wl_of - 1.0)
+    t1x = jnp.clip(jnp.floor(boxes[..., 2:3] / st_of - 0.5) + 1.0, 0.0,
+                   Wl_of - 1.0)
+    touch = ((lvl[..., None] == jnp.asarray(l_of, jnp.int32))
+             & (t0x // wb_of <= jnp.asarray(w_of, jnp.float32))
+             & (jnp.asarray(w_of, jnp.float32) <= t1x // wb_of))
+    # padded zero-boxes must not touch (zero area -> level 0, taps at
+    # cell 0 -> they'd otherwise pin P2/wb0 loaded in every block)
+    valid_roi = jnp.concatenate(
+        [jnp.ones((B, R_in), bool), jnp.zeros((B, R - R_in), bool)],
+        axis=1)
+    touch = touch & valid_roi[..., None]
+    bits = touch.reshape(B, nj, RB, -1).any(axis=2).astype(jnp.int32)
+
+    x0 = boxes[..., 0]
+    y0 = boxes[..., 1]
+    bw = (boxes[..., 2] - x0) / P
+    bh = (boxes[..., 3] - y0) / P
+    zero = jnp.zeros_like(x0)
+    cols = jnp.stack([x0, bw, y0, bh, lvl.astype(jnp.float32),
+                      zero, zero, zero], axis=-1).astype(jnp.float32)
+    cols = cols.reshape(B, nj, S, 1, rbx, 8)
+    cols = jnp.broadcast_to(cols, (B, nj, S, P, rbx, 8))
+    cols = cols.reshape(B, nj * P * RB, 8)
+
+    hpads = tuple(-(-h // 8) * 8 for h, _ in sizes)
+    kern = _make_blocked_kernel(sizes, strides, P, RB, C, sampling,
+                                wb_sizes, out_dtype, rbx, wb_offs, hpads)
+
+    rows = P * RB
+    # the touch bitmap rides scalar prefetch (SMEM, whole array) — SMEM
+    # BlockSpecs reject (1, 1, n_wb) tiles
+    in_specs = [
+        pl.BlockSpec((1, rows, 8), lambda b, j, *_: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for _ in sizes:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    feats = tuple(
+        jnp.pad(f.reshape(f.shape[0], f.shape[1], -1).astype(jnp.bfloat16),
+                ((0, 0), (0, hp - f.shape[1]), (0, 0)))
+        for f, hp in zip(feats, hpads))
+
+    scratch = [
+        pltpu.VMEM((max(wb_sizes) * RB, P * C), jnp.bfloat16),   # t1t
+        pltpu.VMEM((rows, P * C), jnp.float32),                  # acc
+    ]
+    for hp, wb in zip(hpads, wb_sizes):
+        scratch.append(pltpu.VMEM((hp, wb * C), jnp.bfloat16))   # f blocks
+    scratch.append(pltpu.SemaphoreType.DMA(()))
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nj),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, RB, P * P * C),
+                                   lambda b, j, *_: (b, j, 0)),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, R, P * P * C), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(bits, cols, *feats)
+    out = out.reshape(B, R, P, P, C)[:, :R_in]
+    # scatter back to the caller's ROI order
+    inv = jnp.argsort(order, axis=1)
+    return jnp.take_along_axis(out, inv[..., None, None, None], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "out_size", "sampling", "canonical_size", "canonical_level",
     "min_level", "out_dtype", "interpret", "rbx"))
@@ -194,7 +512,11 @@ def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
     sizes = tuple((f.shape[1], f.shape[2]) for f in feats)
     strides = tuple(float(2 ** (min_level + i)) for i in range(len(feats)))
     # W blocks: cap the t1 intermediate at (P*RB, 16*C)
-    wb_sizes = tuple(min(w, 16) for _, w in sizes)
+    # largest divisor of W that is <= 16: the w-block loop tiles W
+    # exactly (W=200 at 800px -> Wb=10; truncation would silently
+    # drop the tail cells)
+    wb_sizes = tuple(max(d for d in range(1, 17) if w % d == 0)
+                     for _, w in sizes)
 
     # per-ROI scalars [x0, bw, y0, bh, lvl, 0, 0, 0] expanded to the
     # kernel's (bin, roi)-ordered rows per R-block: (B, nj, P, RB, 8)

@@ -71,7 +71,7 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
                  tile_bounds: list, batch_size: int = 16,
                  score_thresh: float = 0.05, rdp_eps: float = 0.75,
                  tile_size: int = 256, progress_every: int = 50,
-                 scan_k: int = 1):
+                 scan_k: int = 1, mask_format: str = "u8"):
     """Run inference over tile images; yields per-detection records
     (geometry in EPSG:3857 of the tile bounds, score, det_class).
 
@@ -101,7 +101,7 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
         logger.info(f"int8 ({want_int8}): calibrated on {len(cal)} tiles")
 
     engine = TileInferenceEngine(params, cfg, batch_size=batch_size,
-                                 with_masks=True, mask_format="u8",
+                                 with_masks=True, mask_format=mask_format,
                                  scan_k=scan_k)
     records = []
     n = len(image_paths)
@@ -143,7 +143,14 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
         boxes = dets["boxes"][bi][valid]
         scores = dets["scores"][bi][valid]
         classes = dets["classes"][bi][valid]
-        probs = dets["mask_probs_u8"][bi][valid].astype(np.float32) / 255.0
+        if "mask_bits" in dets:
+            # packed device-thresholded bits -> 0/1 "probabilities"; the
+            # 0.5 paste threshold then reduces to bilinear majority
+            bits = dets["mask_bits"][bi][valid]
+            probs = np.unpackbits(bits, axis=-1, bitorder="little") \
+                .reshape(bits.shape[0], 28, 28).astype(np.float32)
+        else:
+            probs = dets["mask_probs_u8"][bi][valid].astype(np.float32) / 255.0
         bin_masks = paste_masks(probs, boxes, tile_size)
 
         def to_world(ring):

@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--scan-k", type=int, default=1,
                     help="batches folded into one dispatch (lax.map)")
+    ap.add_argument("--mask-format", default="u8",
+                    choices=("u8", "bits"),
+                    help="mask downlink: u8 probs (reference paste "
+                         "semantics) or packed device-thresholded bits "
+                         "(8x less d2h)")
     args = ap.parse_args()
 
     import jax
@@ -82,10 +87,11 @@ def main():
 
     # warm (compile) on a small slice, then measure steady state
     detect_tiles(params, cfg, paths[:args.batch], bounds[:args.batch],
-                 batch_size=args.batch, scan_k=args.scan_k)
+                 batch_size=args.batch, scan_k=args.scan_k,
+                 mask_format=args.mask_format)
     t0 = perf_counter()
     recs = detect_tiles(params, cfg, paths, bounds, batch_size=args.batch,
-                        scan_k=args.scan_k)
+                        scan_k=args.scan_k, mask_format=args.mask_format)
     dt = perf_counter() - t0
     print(json.dumps({
         "metric": "make_detections_e2e",

@@ -224,3 +224,29 @@ def test_trace_mask_cpp_matches_python():
     assert _trace_rings(np.zeros((8, 8), np.uint8)) == []
     full = _trace_rings(np.ones((8, 8), np.uint8))
     assert len(full) == 1 and len(full[0]) == 5 * 8 - 7 or len(full) == 1
+
+
+def test_mask_bits_roundtrip_matches_u8():
+    """mask_format='bits' (device-side 0.5 threshold + bit-pack, 8x less
+    d2h) unpacks on the host to exactly the u8 path's thresholded 28x28
+    grid: sigmoid(x) >= 0.5 <=> x >= 0 <=> round(sigmoid*255) >= 128."""
+    import jax
+    import jax.numpy as jnp
+
+    from roadsurf_tpu.models import fast_profile, init_params
+    from roadsurf_tpu.models.mask_rcnn import forward_inference
+
+    cfg = fast_profile(post_nms_topk=32)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.integers(0, 255, (2, 256, 256, 3),
+                                    dtype=np.uint8))
+    du8 = jax.jit(lambda p, x: forward_inference(
+        p, x, cfg, mask_format="u8"))(params, imgs)
+    dbits = jax.jit(lambda p, x: forward_inference(
+        p, x, cfg, mask_format="bits"))(params, imgs)
+    u8 = np.asarray(du8["mask_probs_u8"])
+    bits = np.asarray(dbits["mask_bits"])
+    unpacked = np.unpackbits(bits, axis=-1, bitorder="little").reshape(
+        u8.shape)
+    np.testing.assert_array_equal(unpacked, (u8 >= 128).astype(np.uint8))

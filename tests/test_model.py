@@ -460,3 +460,42 @@ def test_roi_align_rect_gather_matches_separable():
         got = _roi_align_rect_gather(feats, boxes, lvl, 7, sampling, 2)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-4)
+
+
+def test_roi_align_blocked_pallas_matches_separable():
+    """The blocked Pallas pooler (large maps, 800px parity: HBM-resident
+    levels, sorted ROIs, touch-bitmap skipping) matches the exact XLA
+    separable path in interpret mode — adversarial road geometry incl.
+    full-image, full-width/full-height thin roads and non-divisible
+    feature widths (352px -> W=88/44/22/11 exercises the w-block tail)."""
+    from roadsurf_tpu.ops.roi_align import (_level_assignment,
+                                            _roi_align_separable)
+    from roadsurf_tpu.ops.roi_align_pallas import roi_align_fused_blocked
+
+    rng = np.random.default_rng(3)
+    B, R, C, S = 2, 40, 16, 352
+    sizes = [(S // 2 ** l, S // 2 ** l) for l in range(2, 6)]
+    feats = [jnp.asarray(rng.normal(size=(B, h, w, C)).astype(np.float32))
+             for h, w in sizes]
+
+    def batch_boxes():
+        bs = [[0.0, 0.0, S, S], [0.0, 100.0, S, 106.0],
+              [40.0, 0.0, 43.0, S], [0.0, 0.0, 2.0, 2.0],
+              [5.0, 5.0, 5.6, 6.1], [0.0, 0.0, S, 9.0]]
+        for _ in range(R - len(bs)):
+            x0, y0 = rng.uniform(0, S - 2, 2)
+            bs.append([x0, y0, min(S, x0 + rng.uniform(0.5, S / 2)),
+                       min(S, y0 + rng.uniform(0.5, S / 2))])
+        return bs
+
+    boxes = jnp.asarray(np.asarray([batch_boxes() for _ in range(B)],
+                                   np.float32))
+    lvl = _level_assignment(boxes, 224, 4, 2, 5)
+    for sampling in (0, 2):
+        ref = np.asarray(_roi_align_separable(
+            [f.astype(jnp.bfloat16) for f in feats], boxes, lvl, 7,
+            sampling, 2))
+        got = np.asarray(roi_align_fused_blocked(
+            tuple(f.astype(jnp.bfloat16) for f in feats), boxes, 7,
+            sampling=sampling, interpret=True, out_dtype=jnp.float32))
+        np.testing.assert_allclose(got, ref, atol=5e-3)
