@@ -216,7 +216,7 @@ def detect_dataset(params, cfg: ModelConfig, coco: dict, images_dir: str,
 
 
 def run(cfg: dict, model_cfg: ModelConfig | None = None,
-        batch_size: int = 16) -> list[str]:
+        batch_size: int = 16, mask_format: str = "u8") -> list[str]:
     """Execute the ``make_detections.py`` YAML block."""
     import jax
 
@@ -264,7 +264,8 @@ def run(cfg: dict, model_cfg: ModelConfig | None = None,
         images_dir = os.path.join(wd, f"{ds}-images")
         gdf = detect_dataset(params, model_cfg, coco, images_dir, img_meta,
                              batch_size=batch_size,
-                             score_thresh=score_thresh, rdp_eps=rdp_eps)
+                             score_thresh=score_thresh, rdp_eps=rdp_eps,
+                             mask_format=mask_format)
         gdf_4326 = gdf.to_crs(epsg=4326) if len(gdf) else gdf
         p = os.path.join(wd, f"{ds}_detections_at_{thr_tag}_threshold.gpkg")
         write_file(gdf_4326, p, layer=f"{ds}_detections")
