@@ -164,9 +164,10 @@ def forward_inference(params: dict, images: jnp.ndarray, cfg: ModelConfig,
             # bit-pack: 98 bytes/detection, 8x less d2h than u8 — for
             # latency/bandwidth-constrained links. Deviation from the
             # reference: it thresholds AFTER bilinear paste; binarizing at
-            # 28x28 shifts boundaries <= half a mask cell (pipeline F1
-            # within noise — BASELINE.md ablation). Host unpacks with
-            # np.unpackbits(bitorder="little").
+            # 28x28 shifts boundaries <= half a mask cell — measured
+            # quality-free: identical balanced F1 on all 5 paired seeds
+            # (BASELINE.md, scripts/ablate_mask_bits.py). Host unpacks
+            # with np.unpackbits(bitorder="little").
             B2, D2 = masks.shape[:2]
             bits = (masks.astype(jnp.float32) >= 0.0).reshape(
                 B2, D2, -1, 8).astype(jnp.uint8)
