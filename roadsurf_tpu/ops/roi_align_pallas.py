@@ -384,7 +384,12 @@ def roi_align_fused_blocked(feats, boxes, out_size: int, sampling: int = 0,
     boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
     lvl = jnp.take_along_axis(lvl.astype(jnp.int32), order, axis=1)
 
-    RB = min(64, pick_rb(R_in, P) or 64)
+    # always the largest VMEM-fitting block, padding R up: at R=1000
+    # honoring divisibility (pick_rb) would pick RB=8 — 125 blocks of
+    # 56-row matmuls that underfeed the MXU and re-DMA each touched
+    # (level, w-block) slice per tiny block. Padded ROIs are masked out
+    # of the touch bitmap, so the pad costs nothing.
+    RB = min(64, max(8, (448 // P) & ~7))
     R = R_in
     if R % RB:
         R = -(-R // RB) * RB

@@ -462,6 +462,7 @@ def test_roi_align_rect_gather_matches_separable():
                                    atol=1e-4)
 
 
+@pytest.mark.slow
 def test_roi_align_blocked_pallas_matches_separable():
     """The blocked Pallas pooler (large maps, 800px parity: HBM-resident
     levels, sorted ROIs, touch-bitmap skipping) matches the exact XLA
@@ -499,3 +500,14 @@ def test_roi_align_blocked_pallas_matches_separable():
             tuple(f.astype(jnp.bfloat16) for f in feats), boxes, 7,
             sampling=sampling, interpret=True, out_dtype=jnp.float32))
         np.testing.assert_allclose(got, ref, atol=5e-3)
+
+    # mask-pooler resolution (out_size=14 -> RB=32): one small adaptive
+    # case pins the P=14 relayout/padding geometry
+    small = boxes[:1, :9]
+    ref14 = np.asarray(_roi_align_separable(
+        [f[:1].astype(jnp.bfloat16) for f in feats], small,
+        _level_assignment(small, 224, 4, 2, 5), 14, 0, 2))
+    got14 = np.asarray(roi_align_fused_blocked(
+        tuple(f[:1].astype(jnp.bfloat16) for f in feats), small, 14,
+        sampling=0, interpret=True, out_dtype=jnp.float32))
+    np.testing.assert_allclose(got14, ref14, atol=5e-3)
