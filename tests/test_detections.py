@@ -226,6 +226,7 @@ def test_trace_mask_cpp_matches_python():
     assert len(full) == 1 and len(full[0]) == 5 * 8 - 7 or len(full) == 1
 
 
+@pytest.mark.slow           # compiles TWO full-model configs (~2 min CPU)
 def test_mask_bits_roundtrip_matches_u8():
     """mask_format='bits' (device-side 0.5 threshold + bit-pack, 8x less
     d2h) unpacks on the host to exactly the u8 path's thresholded 28x28
