@@ -41,14 +41,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype,
-                 rbx=None):
+                 rbx=None, stage="full"):
     """rbx: ROI sub-block size for the x-contraction. The block-diagonal
     x-matmul computes (P·RB)×(Wb·RB)×(P·C) flops of which only 1/RB are
     useful (the off-diagonal ROI pairs are zeros); splitting the ROI axis
     into RB/rbx independent sub-blocks cuts that waste to 1/rbx — at
     RB=32/rbx=8 the box pooler's x-flops drop 4×. Row order becomes
     (sub, bin, roi) so every sub-block is a contiguous row range of wy,
-    t1, t1t and acc."""
+    t1, t1t and acc.
+
+    stage: profiling knob ("w" weights only / "y" +y-matmul / "yr"
+    +relayout / "full") — non-"full" stages produce WRONG results and
+    exist purely to attribute kernel time (scripts/bench_pooler_variants)."""
     RBX = rbx or RB
     S = RB // RBX
 
@@ -100,6 +104,9 @@ def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype,
 
             for wbi in range(W // Wb):
                 w0 = wbi * Wb
+                if stage == "w":
+                    acc[0] = acc[0] + jnp.sum(wy)
+                    continue
                 # t1 = wy @ f[:, w-block] -> (P*RB, Wb*C), rows (sub, p, r);
                 # the w-block is a pure lane slice of the (H, W*C) layout
                 fb = f[:, w0 * C:(w0 + Wb) * C]
@@ -107,6 +114,9 @@ def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype,
                     wy, fb.astype(jnp.bfloat16),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                if stage == "y":
+                    acc[0] = acc[0] + t1[:P * RBX, :P * C].astype(jnp.float32)
+                    continue
                 # relayout rows (s,p,r') x cols (w,c) -> rows (s,w,r') x
                 # cols (p,c): S*P*Wb static contiguous (RBX, C) block copies
                 for sb in range(S):
@@ -117,6 +127,10 @@ def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype,
                                     (sb * Wb + w + 1) * RBX,
                                     p * C:(p + 1) * C] = \
                                 tp[:, w * C:(w + 1) * C]
+                if stage == "yr":
+                    acc[0] = acc[0] + t1t_ref[:P * RBX, :P * C].astype(
+                        jnp.float32)
+                    continue
 
                 for sb in range(S):
                     r0 = sb * srows
@@ -490,12 +504,17 @@ def roi_align_fused_blocked(feats, boxes, out_size: int, sampling: int = 0,
 
 @functools.partial(jax.jit, static_argnames=(
     "out_size", "sampling", "canonical_size", "canonical_level",
-    "min_level", "out_dtype", "interpret", "rbx"))
+    "min_level", "out_dtype", "interpret", "rbx", "stage"))
 def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
                     canonical_size: int = 224, canonical_level: int = 4,
-                    min_level: int = 2, out_dtype=jnp.float32,
-                    interpret: bool = False, rbx: int | None = None):
+                    min_level: int = 2, out_dtype=jnp.bfloat16,
+                    interpret: bool = False, rbx: int | None = None,
+                    stage: str = "full"):
     """Fused Pallas multilevel RoIAlign.
+
+    out_dtype defaults to bf16: the consumers (box-head FC / mask convs,
+    bf16 or int8) cast anyway, and the f32 out block measures ~6 ms/batch
+    slower at the deployment shape (HBM writes double).
 
     feats: tuple of (B, H_l, W_l, C) NHWC tensors (P2..); boxes (B, R, 4)
     XYXY image coords. Returns (B, R, out_size, out_size, C) ``out_dtype``.
@@ -548,7 +567,7 @@ def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
     cols = cols.reshape(B, nj * P * RB, 8)
 
     kern = _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes,
-                        out_dtype, rbx=rbx)
+                        out_dtype, rbx=rbx, stage=stage)
 
     rows = P * RB
     in_specs = [pl.BlockSpec((1, rows, 8), lambda b, j: (b, j, 0),

@@ -13,8 +13,6 @@ import sys
 import time
 from functools import partial
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -28,24 +26,33 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "3"))
-    dev = jax.devices()[0]
-    rng = np.random.default_rng(0)
 
     # P2..P4 at 256px (the reachable levels), bf16 like the model
     sizes = [(64, 64), (32, 32), (16, 16)]
     C = 256
 
-    def feats_batch():
-        return tuple(
-            jax.device_put(jnp.asarray(
-                rng.normal(0, 1, (B, h, w, C)), jnp.bfloat16), dev)
-            for h, w in sizes)
+    # inputs are generated ON DEVICE: uploading host arrays for these
+    # shapes (~1 GB per P2 map at batch 512) takes minutes over the
+    # ~30 MB/s relay tunnel and was the dominant cost of this script
+    @partial(jax.jit, static_argnums=(1,))
+    def _gen(seed, R):
+        key = jax.random.PRNGKey(seed)
+        kf = jax.random.split(key, len(sizes) + 2)
+        feats = tuple(
+            jax.random.normal(kf[i], (B, h, w, C), jnp.bfloat16)
+            for i, (h, w) in enumerate(sizes))
+        x0 = jax.random.uniform(kf[-2], (B, R, 2), minval=0.0, maxval=200.0)
+        wh = jax.random.uniform(kf[-1], (B, R, 2), minval=8.0, maxval=56.0)
+        b = jnp.concatenate([x0, jnp.minimum(x0 + wh, 256.0)], -1)
+        return feats, b.astype(jnp.float32)
 
-    def boxes_batch(R):
-        x0 = rng.uniform(0, 200, (B, R, 2))
-        wh = rng.uniform(8, 56, (B, R, 2))
-        b = np.concatenate([x0, np.minimum(x0 + wh, 256.0)], -1)
-        return jax.device_put(jnp.asarray(b, jnp.float32), dev)
+    _seed = [0]
+
+    def gen(R):
+        _seed[0] += 1
+        out = _gen(_seed[0], R)
+        jax.block_until_ready(out)
+        return out
 
     # separable cases first: the fused Pallas kernel has hung the relayed
     # backend before (a silent 40-min stall) — run it LAST so the XLA
@@ -69,7 +76,7 @@ def main():
         cases = [c for c in cases if only in c[0]]
 
     for name, fn, R in cases:
-        ins = [(feats_batch(), boxes_batch(R)) for _ in range(steps + 1)]
+        ins = [gen(R) for _ in range(steps + 1)]
         print(f"... {name}: compiling", file=sys.stderr, flush=True)
         try:
             float(jnp.sum(fn(*ins[0])[..., 0]))   # compile+warm
