@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype,
-                 rbx=None, stage="full"):
+                 wb_offs, rbx=None, stage="full"):
     """rbx: ROI sub-block size for the x-contraction. The block-diagonal
     x-matmul computes (P·RB)×(Wb·RB)×(P·C) flops of which only 1/RB are
     useful (the off-diagonal ROI pairs are zeros); splitting the ROI axis
@@ -50,15 +50,23 @@ def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype,
     (sub, bin, roi) so every sub-block is a contiguous row range of wy,
     t1, t1t and acc.
 
-    stage: profiling knob ("w" weights only / "y" +y-matmul / "yr"
-    +relayout / "full") — non-"full" stages produce WRONG results and
-    exist purely to attribute kernel time (scripts/bench_pooler_variants)."""
+    Each (level, w-block) body is gated by a scalar-prefetched touch bit
+    (any ROI of this block assigned to the level AND x-overlapping the
+    w-block): deployment ROIs are small road boxes concentrated on P2,
+    so most of the (level, w-block) grid contributes only zeros — the
+    accumulator lives in a VMEM scratch so skipped bodies cost nothing.
+
+    stage: profiling knob ("y" y-matmul only / "yr" +relayout / "full")
+    — non-"full" stages produce WRONG results and exist purely to
+    attribute kernel time (scripts/bench_pooler_variants)."""
     RBX = rbx or RB
     S = RB // RBX
 
-    def kernel(cols_ref, *refs):
-        feat_refs = refs[:-2]
-        out_ref, t1t_ref = refs[-2], refs[-1]
+    def kernel(bits_ref, cols_ref, *refs):
+        feat_refs = refs[:-3]
+        out_ref, t1t_ref, acc_ref = refs[-3], refs[-2], refs[-1]
+        b = pl.program_id(0)
+        j = pl.program_id(1)
         rows = P * RB                              # row order (sub, bin, r)
         cols = cols_ref[0]                              # (rows, 8) f32
         x0r = cols[:, 0:1]
@@ -69,8 +77,8 @@ def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype,
         rowi = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         binf = ((rowi // RBX) % P).astype(jnp.float32)  # bin index per row
 
-        # one accumulator per x sub-block, rows (q=x-bin, r')
-        acc = [jnp.zeros((P * RBX, P * C), jnp.float32) for _ in range(S)]
+        # accumulator scratch, rows (sub, q=x-bin, r'), zeroed per block
+        acc_ref[...] = jnp.zeros((rows, P * C), jnp.float32)
 
         for li, ((H, W), stride) in enumerate(zip(sizes, strides)):
             Wb = wb_sizes[li]
@@ -103,61 +111,68 @@ def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype,
             diag = row_r == col_r
 
             for wbi in range(W // Wb):
-                w0 = wbi * Wb
-                if stage == "w":
-                    acc[0] = acc[0] + jnp.sum(wy)
-                    continue
-                # t1 = wy @ f[:, w-block] -> (P*RB, Wb*C), rows (sub, p, r);
-                # the w-block is a pure lane slice of the (H, W*C) layout
-                fb = f[:, w0 * C:(w0 + Wb) * C]
-                t1 = jax.lax.dot_general(
-                    wy, fb.astype(jnp.bfloat16),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-                if stage == "y":
-                    acc[0] = acc[0] + t1[:P * RBX, :P * C].astype(jnp.float32)
-                    continue
-                # relayout rows (s,p,r') x cols (w,c) -> rows (s,w,r') x
-                # cols (p,c): S*P*Wb static contiguous (RBX, C) block copies
-                for sb in range(S):
-                    for p in range(P):
-                        tp = t1[(sb * P + p) * RBX:(sb * P + p + 1) * RBX]
-                        for w in range(Wb):
-                            t1t_ref[(sb * Wb + w) * RBX:
-                                    (sb * Wb + w + 1) * RBX,
-                                    p * C:(p + 1) * C] = \
-                                tp[:, w * C:(w + 1) * C]
-                if stage == "yr":
-                    acc[0] = acc[0] + t1t_ref[:P * RBX, :P * C].astype(
-                        jnp.float32)
-                    continue
-
-                for sb in range(S):
-                    r0 = sb * srows
-                    wxbd = jnp.zeros((srows, Wb * RBX), jnp.float32)
-                    for s in range(sampling):
-                        c = (x0r[r0:r0 + srows]
-                             + (binf[r0:r0 + srows]
-                                + (s + 0.5) / sampling)
-                             * bwr[r0:r0 + srows]) / stride - 0.5
-                        valid = (c >= -1.0) & (c <= float(W))
-                        cc = jnp.clip(c, 0.0, float(W) - 1.0)
-                        w = jnp.maximum(0.0,
-                                        1.0 - jnp.abs(cc - (w_off + w0)))
-                        wxbd = wxbd + jnp.where(valid & diag, w, 0.0)
-                    wxbd = (wxbd / sampling).astype(jnp.bfloat16)
-
-                    part = jax.lax.dot_general(
-                        wxbd,
-                        t1t_ref[sb * Wb * RBX:(sb + 1) * Wb * RBX, :],
+                @pl.when(bits_ref[b, j, wb_offs[li] + wbi] != 0)
+                def _wb_body(f=f, wy=wy, wbi=wbi, Wb=Wb, W=W, stride=stride,
+                             w_off=w_off, diag=diag, srows=srows):
+                    w0 = wbi * Wb
+                    # t1 = wy @ f[:, w-block] -> (P*RB, Wb*C), rows
+                    # (sub, p, r); the w-block is a pure lane slice of the
+                    # (H, W*C) layout
+                    fb = f[:, w0 * C:(w0 + Wb) * C]
+                    t1 = jax.lax.dot_general(
+                        wy, fb.astype(jnp.bfloat16),
                         dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    acc[sb] = acc[sb] + part
+                        preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+                    if stage == "y":
+                        acc_ref[:P * RBX, :] = acc_ref[:P * RBX, :] \
+                            + t1[:P * RBX, :P * C].astype(jnp.float32)
+                        return
+                    # relayout rows (s,p,r') x cols (w,c) -> rows (s,w,r')
+                    # x cols (p,c): S*P*Wb static contiguous (RBX, C)
+                    # block copies
+                    for sb in range(S):
+                        for p in range(P):
+                            tp = t1[(sb * P + p) * RBX:
+                                    (sb * P + p + 1) * RBX]
+                            for w in range(Wb):
+                                t1t_ref[(sb * Wb + w) * RBX:
+                                        (sb * Wb + w + 1) * RBX,
+                                        p * C:(p + 1) * C] = \
+                                    tp[:, w * C:(w + 1) * C]
+                    if stage == "yr":
+                        acc_ref[:P * RBX, :] = acc_ref[:P * RBX, :] \
+                            + t1t_ref[:P * RBX, :P * C].astype(jnp.float32)
+                        return
 
-        # acc[sb] rows (q=x-bin, r'), cols (p=y-bin, c); out rows
+                    for sb in range(S):
+                        r0 = sb * srows
+                        wxbd = jnp.zeros((srows, Wb * RBX), jnp.float32)
+                        for s in range(sampling):
+                            c = (x0r[r0:r0 + srows]
+                                 + (binf[r0:r0 + srows]
+                                    + (s + 0.5) / sampling)
+                                 * bwr[r0:r0 + srows]) / stride - 0.5
+                            valid = (c >= -1.0) & (c <= float(W))
+                            cc = jnp.clip(c, 0.0, float(W) - 1.0)
+                            w = jnp.maximum(
+                                0.0, 1.0 - jnp.abs(cc - (w_off + w0)))
+                            wxbd = wxbd + jnp.where(valid & diag, w, 0.0)
+                        wxbd = (wxbd / sampling).astype(jnp.bfloat16)
+
+                        part = jax.lax.dot_general(
+                            wxbd,
+                            t1t_ref[sb * Wb * RBX:(sb + 1) * Wb * RBX, :],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        acc_ref[r0:r0 + srows, :] = \
+                            acc_ref[r0:r0 + srows, :] + part
+
+        # acc rows (sub, q=x-bin, r'), cols (p=y-bin, c); out rows
         # r = sub*RBX + r', flat cols (p, q, c) — static (RBX, C) copies
         for sb in range(S):
-            accv = acc[sb].astype(out_dtype)
+            accv = acc_ref[sb * P * RBX:(sb + 1) * P * RBX, :].astype(
+                out_dtype)
             for q in range(P):
                 blk = accv[q * RBX:(q + 1) * RBX]       # (RBX, P*C)
                 for p in range(P):
@@ -363,12 +378,12 @@ def _make_blocked_kernel(sizes, strides, P, RB, C, sampling, wb_sizes,
 
 @functools.partial(jax.jit, static_argnames=(
     "out_size", "sampling", "canonical_size", "canonical_level",
-    "min_level", "out_dtype", "interpret", "rbx"))
+    "min_level", "out_dtype", "interpret", "rbx", "rb"))
 def roi_align_fused_blocked(feats, boxes, out_size: int, sampling: int = 0,
                             canonical_size: int = 224,
                             canonical_level: int = 4, min_level: int = 2,
                             out_dtype=jnp.bfloat16, interpret: bool = False,
-                            rbx: int = 16):
+                            rbx: int = 16, rb: int | None = None):
     """Fused Pallas multilevel RoIAlign for LARGE feature maps.
 
     Same semantics as :func:`roi_align_fused` (plus exact sampling=0
@@ -403,7 +418,7 @@ def roi_align_fused_blocked(feats, boxes, out_size: int, sampling: int = 0,
     # 56-row matmuls that underfeed the MXU and re-DMA each touched
     # (level, w-block) slice per tiny block. Padded ROIs are masked out
     # of the touch bitmap, so the pad costs nothing.
-    RB = min(64, max(8, (448 // P) & ~7))
+    RB = rb or min(64, max(8, (448 // P) & ~7))
     R = R_in
     if R % RB:
         R = -(-R // RB) * RB
@@ -566,15 +581,39 @@ def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
     cols = jnp.broadcast_to(cols, (B, nj, S, P, rbx, 8))
     cols = cols.reshape(B, nj * P * RB, 8)
 
+    # touch bitmap (B, nj, total w-blocks): does any valid ROI of the
+    # block sit on this level AND x-overlap this w-block? (x tap range
+    # as in ops.roi_align's tap_range). Untouched pairs are pl.when-
+    # skipped in-kernel — with small road boxes most of the (level,
+    # w-block) grid never contributes.
+    n_wb = tuple(w // wb for (_, w), wb in zip(sizes, wb_sizes))
+    wb_offs = tuple(int(np.sum(n_wb[:i])) for i in range(len(sizes)))
+    l_of = np.concatenate([np.full(n, i) for i, n in enumerate(n_wb)])
+    w_of = np.asarray(np.concatenate([np.arange(n) for n in n_wb]),
+                      np.float32)
+    st_of = np.asarray([strides[i] for i in l_of], np.float32)
+    wbsz_of = np.asarray([wb_sizes[i] for i in l_of], np.float32)
+    Wl_of = np.asarray([sizes[i][1] for i in l_of], np.float32)
+    t0x = jnp.clip(jnp.floor(boxes[..., 0:1] / st_of - 0.5), 0.0,
+                   Wl_of - 1.0)
+    t1x = jnp.clip(jnp.floor(boxes[..., 2:3] / st_of - 0.5) + 1.0, 0.0,
+                   Wl_of - 1.0)
+    touch = ((lvl[..., None] == jnp.asarray(l_of, jnp.int32))
+             & (t0x // wbsz_of <= w_of)
+             & (w_of <= t1x // wbsz_of))
+    valid_roi = jnp.arange(R) < R_in            # pad ROIs touch nothing
+    touch = touch & valid_roi[None, :, None]
+    bits = touch.reshape(B, nj, RB, -1).any(axis=2).astype(jnp.int32)
+
     kern = _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes,
-                        out_dtype, rbx=rbx, stage=stage)
+                        out_dtype, wb_offs, rbx=rbx, stage=stage)
 
     rows = P * RB
-    in_specs = [pl.BlockSpec((1, rows, 8), lambda b, j: (b, j, 0),
+    in_specs = [pl.BlockSpec((1, rows, 8), lambda b, j, *_: (b, j, 0),
                              memory_space=pltpu.VMEM)]
     for H, W in sizes:
         in_specs.append(pl.BlockSpec(
-            (1, H, W * C), lambda b, j: (b, 0, 0),
+            (1, H, W * C), lambda b, j, *_: (b, 0, 0),
             memory_space=pltpu.VMEM))
     # lane-flatten (B, H, W, C) -> (B, H, W*C) outside the kernel: the
     # in-kernel w-block slice then never crosses the sublane/lane boundary
@@ -582,16 +621,21 @@ def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
 
     out = pl.pallas_call(
         kern,
-        grid=(B, nj),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, RB, P * P * C),
-                               lambda b, j: (b, j, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nj),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, RB, P * P * C),
+                                   lambda b, j, *_: (b, j, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((max(wb_sizes) * RB, P * C), jnp.bfloat16),
+                pltpu.VMEM((rows, P * C), jnp.float32),      # acc
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((B, R, P * P * C), out_dtype),
-        scratch_shapes=[pltpu.VMEM((max(wb_sizes) * RB, P * C),
-                                   jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(cols, *feats)
+    )(bits, cols, *feats)
     return out.reshape(B, R, P, P, C)[:, :R_in]

@@ -24,7 +24,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from roadsurf_tpu.ops.roi_align_pallas import roi_align_fused
+    from roadsurf_tpu.ops.roi_align_pallas import (roi_align_fused,
+                                                   roi_align_fused_blocked)
 
     B = int(os.environ.get("BENCH_BATCH", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "3"))
@@ -53,7 +54,6 @@ def main():
         return out
 
     cases = [
-        ("stage=w", dict(stage="w")),
         ("stage=y", dict(stage="y")),
         ("stage=yr", dict(stage="yr")),
         ("full", dict()),
@@ -61,12 +61,18 @@ def main():
         ("full rbx=32", dict(rbx=32)),
         ("full out=bf16", dict(out_dtype=jnp.bfloat16)),
     ]
+    for rb in (32, 64):
+        cases.append((f"blocked rb={rb}", dict(rb=rb)))
+
     only = os.environ.get("BENCH_CASES", "")
     for name, kw in cases:
         if only and only not in name:
             continue
-        def _call(f, b, _kw=kw):
-            return roi_align_fused(f, b, out_size=P, sampling=2, **_kw)
+        base = roi_align_fused_blocked if name.startswith("blocked") \
+            else roi_align_fused
+
+        def _call(f, b, _kw=kw, _base=base):
+            return _base(f, b, out_size=P, sampling=2, **_kw)
 
         fn = jax.jit(_call)
         ins = [gen() for _ in range(steps + 1)]

@@ -19,7 +19,6 @@ import os
 import sys
 import time
 
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -43,12 +42,22 @@ def main():
     sizes = [a.shape[0] for a in anchors]
     pre = cfg.rpn_pre_nms_topk_test
 
-    def make_inputs(rng):
-        logits = [jnp.asarray(rng.standard_normal((batch, n)), jnp.bfloat16)
-                  for n in sizes]
-        deltas = [jnp.asarray(rng.standard_normal((batch, n, 4)) * 0.1,
-                              jnp.bfloat16) for n in sizes]
-        return logits, deltas
+    # on-device input generation (host uploads of ~80 MB/set crawl over
+    # the ~30 MB/s relay tunnel — see bench_pooler.py)
+    def make_inputs(seed):
+        @jax.jit
+        def _gen(seed):
+            key = jax.random.PRNGKey(seed)
+            ks = jax.random.split(key, 2 * len(sizes))
+            logits = [jax.random.normal(ks[2 * i], (batch, n), jnp.bfloat16)
+                      for i, n in enumerate(sizes)]
+            deltas = [0.1 * jax.random.normal(ks[2 * i + 1], (batch, n, 4),
+                                              jnp.bfloat16)
+                      for i, n in enumerate(sizes)]
+            return logits, deltas
+        out = _gen(seed)
+        jax.block_until_ready(out)
+        return out
 
     def st_topk(logits, deltas):
         out = []
@@ -89,9 +98,7 @@ def main():
     print(f"device: {dev.platform}, batch={batch}, steps={steps}, "
           f"pre={pre}/level, post={cfg.rpn_post_nms_topk_test}",
           file=sys.stderr)
-    rng = np.random.default_rng(0)
-    inputs = [jax.device_put(make_inputs(rng), dev)
-              for _ in range(steps + 1)]
+    inputs = [make_inputs(i) for i in range(steps + 1)]
 
     prev = 0.0
     for name, fn in stages:
