@@ -65,7 +65,11 @@ def main():
         from dataclasses import replace
         from roadsurf_tpu.models.quant import prepare_quantized
         scope = os.environ.get("BENCH_INT8_SCOPE", "full")
-        cfg = replace(cfg, int8_scope=scope)
+        # int8 pyramid: P2..P6 stored int8 and consumed directly by the
+        # RPN head and the poolers (models/quant.py pyramid interface)
+        pyr = os.environ.get("BENCH_INT8_PYR", "1") == "1" \
+            and scope in ("convnet", "full")
+        cfg = replace(cfg, int8_scope=scope, int8_pyramid=pyr)
         cal = np.random.default_rng(1).integers(
             0, 255, (8, 256, 256, 3), dtype=np.uint8)
         params["quant"] = jax.device_put(
@@ -75,7 +79,7 @@ def main():
     # dispatch, amortizing the ~25 ms relay/launch latency (k=1 falls back
     # to the plain per-batch fn)
     scan_k = int(os.environ.get("BENCH_SCANK",
-                                "4" if profile != "parity" else "1"))
+                                "8" if profile != "parity" else "1"))
     if scan_k > 1:
         fn = jax.jit(make_inference_scan_fn(cfg, with_masks=True))
         shape = (scan_k, batch, 256, 256, 3)

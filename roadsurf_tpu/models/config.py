@@ -108,6 +108,13 @@ class ModelConfig:
     # (classifier/regressor/predictor layers always stay bf16 for score
     # fidelity). Requires calibrated params["quant"].
     int8_scope: str = ""
+    # store the FPN outputs (P2..P6) as int8 in calibrated per-level scales
+    # and consume them DIRECTLY in the RPN head and both poolers
+    # (models/quant.py pyramid interface): the ResNet stage outputs, the
+    # FPN internals and the P-levels then never materialize in bf16 —
+    # at 256px the feature interface is the dominant HBM traffic. Only
+    # honored when int8_scope is "convnet"/"full" (needs those scales).
+    int8_pyramid: bool = False
     # rematerialize the training forward per stage (jax.checkpoint around
     # backbone/FPN/box/mask heads): trades ~1/3 more FLOPs for dropping
     # each stage's activations from the backward liveness — the 1016-ROI

@@ -114,14 +114,29 @@ def forward_inference(params: dict, images: jnp.ndarray, cfg: ModelConfig,
     x = preprocess(images, cfg, S).astype(dtype)
 
     q = _quant_tree(params, cfg)
-    fpn_feats = forward_features(params, x, cfg, dtype, q=q)
-    if "rpn" in q:
-        from .quant import rpn_head_forward_int8
-        logits, deltas = rpn_head_forward_int8(q["rpn"], fpn_feats,
-                                               cfg.num_anchors, dtype)
+    pyr = q.get("pyr") if getattr(cfg, "int8_pyramid", False) else None
+    feat_scales = None
+    if pyr is not None:
+        # int8-pyramid path: ResNet stage outputs, FPN internals and the
+        # P-levels all stay int8; the RPN head and the poolers consume the
+        # int8 levels directly (models/quant.py pyramid interface)
+        from .quant import (fpn_forward_int8_pyr, resnet_forward_int8,
+                            rpn_head_forward_int8_pyr)
+        res_i8 = resnet_forward_int8(q["backbone"], x,
+                                     out_sas=pyr["res_sa"])
+        fpn_feats = fpn_forward_int8_pyr(q["fpn"], pyr, res_i8, dtype)
+        logits, deltas = rpn_head_forward_int8_pyr(
+            q["rpn"], pyr, fpn_feats, cfg.num_anchors, dtype)
+        feat_scales = pyr["out_sa"]
     else:
-        logits, deltas = rpn_head_forward(params["rpn"], fpn_feats,
-                                          cfg.num_anchors, dtype)
+        fpn_feats = forward_features(params, x, cfg, dtype, q=q)
+        if "rpn" in q:
+            from .quant import rpn_head_forward_int8
+            logits, deltas = rpn_head_forward_int8(q["rpn"], fpn_feats,
+                                                   cfg.num_anchors, dtype)
+        else:
+            logits, deltas = rpn_head_forward(params["rpn"], fpn_feats,
+                                              cfg.num_anchors, dtype)
     anchors = all_level_anchors(S, cfg.fpn_strides, cfg.anchor_sizes,
                                 cfg.anchor_aspect_ratios, cfg.anchor_offset)
     proposals, prop_scores = select_proposals(
@@ -137,7 +152,7 @@ def forward_inference(params: dict, images: jnp.ndarray, cfg: ModelConfig,
     box_feats = fpn_feats[:4]  # box/mask pool from P2..P5
     class_logits, box_deltas = box_head_forward(
         params["box_head"], box_feats, proposals, cfg, dtype,
-        use_pallas=use_pallas, qp=q.get("box"))
+        use_pallas=use_pallas, qp=q.get("box"), feat_scales=feat_scales)
     dets = inference_detections(class_logits, box_deltas, proposals,
                                 prop_scores, cfg, S)
 
@@ -145,7 +160,8 @@ def forward_inference(params: dict, images: jnp.ndarray, cfg: ModelConfig,
         mask_logits = mask_head_forward(params["mask_head"], box_feats,
                                         dets["boxes"], cfg, dtype,
                                         use_pallas=use_pallas,
-                                        qp=q.get("mask"))
+                                        qp=q.get("mask"),
+                                        feat_scales=feat_scales)
         # select each detection's own class channel
         cls = dets["classes"]
         masks = jnp.take_along_axis(

@@ -158,7 +158,7 @@ def _quantize_act(x, sa):
     return jnp.clip(q, -_QMAX, _QMAX).astype(jnp.int8)
 
 
-def qconv_int8_in(xq, qp, stride=1, relu=True, sa_out=None):
+def qconv_int8_in(xq, qp, stride=1, relu=True, sa_out=None, mult=None):
     """Conv on an int8 input already in qp's activation domain.
 
     ``sa_out=None`` returns the bf16 epilogue output; otherwise the
@@ -166,9 +166,12 @@ def qconv_int8_in(xq, qp, stride=1, relu=True, sa_out=None):
     (**streaming**) — between two quantized convs this skips the bf16
     write+read entirely, halving the inter-layer HBM traffic that
     dominates the backbone's cost (the conv stack is bandwidth-bound at
-    256px: ~27% MXU utilization measured before streaming)."""
+    256px: ~27% MXU utilization measured before streaming).
+
+    ``mult`` overrides the epilogue multiplier (int8-pyramid mode: the
+    input arrives in a per-level scale, so mult = s_level · sw)."""
     y = _qconv(xq, qp["wq"], stride).astype(jnp.float32)
-    y = y * qp["mult"] + qp["bias"]
+    y = y * (qp["mult"] if mult is None else mult) + qp["bias"]
     if relu:
         y = jnp.maximum(y, 0.0)
     if sa_out is None:
@@ -205,8 +208,12 @@ def prepare_int8_params(params, images_u8, cfg, image_size: int | None = None):
     return quantize_backbone(jax.device_get(params["backbone"]), scales)
 
 
-def resnet_forward_int8(qparams, images):
-    """images: preprocessed f32 (B, H, W, 3); returns res2..res5 bf16.
+def resnet_forward_int8(qparams, images, out_sas=None):
+    """images: preprocessed f32 (B, H, W, 3); returns res2..res5 bf16 —
+    or int8 in the given per-stage scales when ``out_sas`` is set
+    (int8-pyramid mode: the FPN laterals' calibrated input scales, so the
+    stage outputs stream straight into the quantized lateral convs and the
+    bf16 materialization disappears).
 
     Fully-streamed form: the RESIDUAL stream stays int8 too. The block
     input is quantized once into its conv1 scale (the projection shortcut
@@ -223,6 +230,10 @@ def resnet_forward_int8(qparams, images):
     stem = qparams["stem"]
     first = qparams["res2"][0]
     xq = _quantize_act(images.astype(jnp.float32), stem["sa"])
+    # (a bit-exact space-to-depth 4x4 form of this 7x7 stride-2 stem was
+    # tried — 2x2-blocked input, Cin 3->12, 4x fewer positions — and
+    # measured ~3% SLOWER whole-model: the extra int8 relayout pass costs
+    # more than the deeper contraction saves)
     x8 = qconv_int8_in(xq, stem, stride=2, relu=True,
                        sa_out=first["conv1"]["sa"])
     x8 = max_pool_i8(x8, 3, 2)
@@ -249,7 +260,8 @@ def resnet_forward_int8(qparams, images):
             elif si + 1 < len(stages):
                 x8 = _quantize_act(h, qparams[stages[si + 1]][0]
                                    ["conv1"]["sa"])
-        feats[stage] = h.astype(jnp.bfloat16)
+        feats[stage] = h.astype(jnp.bfloat16) if out_sas is None \
+            else _quantize_act(h, out_sas[si])
     return feats
 
 
@@ -322,6 +334,60 @@ def rpn_head_forward_int8(qp, feats, num_anchors: int = 3,
     return logits, deltas
 
 
+def fpn_forward_int8_pyr(qp, pyr, feats_i8, dtype=jnp.bfloat16):
+    """int8-pyramid FPN: consumes int8 ResNet stage outputs (already in
+    the lateral convs' activation scales — resnet_forward_int8 with
+    ``out_sas``) and emits [P2..P6] as int8 in the calibrated per-level
+    output scales ``pyr['out_sa']``. The laterals' epilogues, the top-down
+    adds and the output convs' requantize all fuse around the convs, so
+    no bf16 P-level ever round-trips HBM; P6 is an exact int8 subsample
+    of P5 (1x1 window, stride 2 — scale shared)."""
+    from .fpn import upsample2x_nearest
+
+    out_sa = pyr["out_sa"]
+    names = ["res2", "res3", "res4", "res5"]
+    laterals = [qconv_int8_in(feats_i8[n], qp[f"lateral{i + 2}"],
+                              relu=False)
+                for i, n in enumerate(names)]
+    tds = [None] * 4
+    tds[3] = laterals[3]
+    for i in (2, 1, 0):
+        tds[i] = (laterals[i] + upsample2x_nearest(tds[i + 1])).astype(dtype)
+    outs = [qconv_unit_out(tds[i], qp[f"output{i + 2}"], out_sa[i])
+            for i in range(4)]
+    p6 = jax.lax.reduce_window(
+        outs[3], jnp.int8(-128), jax.lax.max, (1, 1, 1, 1), (1, 2, 2, 1),
+        "VALID")
+    outs.append(p6)
+    return outs
+
+
+def qconv_unit_out(x, qp, sa_out, stride=1, relu=False):
+    """bf16/f32 in → int8 out in ``sa_out`` (streaming epilogue)."""
+    xq = _quantize_act(x.astype(jnp.float32), qp["sa"])
+    return qconv_int8_in(xq, qp, stride=stride, relu=relu, sa_out=sa_out)
+
+
+def rpn_head_forward_int8_pyr(qp, pyr, feats_i8, num_anchors: int = 3,
+                              dtype=jnp.bfloat16):
+    """StandardRPNHead over int8 pyramid levels: the shared conv consumes
+    each level DIRECTLY in its pyramid scale (per-level epilogue mult
+    ``pyr['rpn_mult']`` = s_level · sw — no requantize pass over P2), then
+    streams into the predictors' shared int8 domain as in
+    :func:`rpn_head_forward_int8`."""
+    logits, deltas = [], []
+    for li, f in enumerate(feats_i8):
+        t = qconv_int8_in(f, qp["conv"], relu=True,
+                          sa_out=qp["objectness"]["sa"],
+                          mult=pyr["rpn_mult"][li])
+        o = qconv_int8_in(t, qp["objectness"], relu=False)
+        d = qconv_int8_in(t, qp["deltas"], relu=False)
+        b, h, w, _ = o.shape
+        logits.append(o.reshape(b, h * w * num_anchors))
+        deltas.append(d.reshape(b, h * w * num_anchors, 4))
+    return logits, deltas
+
+
 def calibrate_inference(params, x, cfg, image_size: int):
     """Activation maxima for every extended-scope unit, recorded from ONE
     jitted forward of the real pipeline (backbone → FPN → RPN → proposal
@@ -371,6 +437,9 @@ def _calib_inference_fn(cfg, image_size: int):
         for i in range(4):
             track(("fpn", f"output{i + 2}"), tds[i])
         fpn_feats = fpn_forward(params["fpn"], feats, jnp.float32)
+        # pyramid-output scales (int8_pyramid): the P-levels themselves
+        for i, f in enumerate(fpn_feats[:4]):
+            track(("fpn_out", i + 2), f)
 
         # RPN taps: shared conv => shared (max-over-levels) scales
         rp = params["rpn"]
@@ -462,6 +531,25 @@ def prepare_quantized(params, images_u8, cfg, image_size: int | None = None):
                                        scales[("rpn", "conv")]),
                 "objectness": quantize_plain(host["rpn"]["objectness"], s_t),
                 "deltas": quantize_plain(host["rpn"]["deltas"], s_t)}
+    if getattr(cfg, "int8_pyramid", False):
+        # int8-pyramid interface: per-level P-output scales (P6 is an
+        # exact subsample of P5 — shared scale), the ResNet stage-output
+        # scales (the laterals' input scales, so the backbone streams
+        # int8 straight into the quantized laterals), and the RPN shared
+        # conv's per-level epilogue multipliers s_level*sw (it consumes
+        # the pyramid levels directly, no requantize pass)
+        out_list = [scales[("fpn_out", i + 2)] for i in range(4)]
+        out_list.append(out_list[3])
+        sw = np.asarray(q["rpn"]["conv"]["mult"], np.float32) \
+            / np.float32(scales[("rpn", "conv")])
+        q["pyr"] = {
+            "out_sa": jnp.asarray(out_list, jnp.float32),
+            "res_sa": jnp.asarray(
+                [scales[("fpn", f"lateral{i + 2}")] for i in range(4)],
+                jnp.float32),
+            "rpn_mult": jnp.stack(
+                [jnp.asarray(s * sw, jnp.float32) for s in out_list]),
+        }
     if scope == "convnet":
         return q
 

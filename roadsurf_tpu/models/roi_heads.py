@@ -28,17 +28,20 @@ def _linear(x, p, dtype=jnp.bfloat16):
 
 def box_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
                      cfg, dtype=jnp.bfloat16, use_pallas: bool = False,
-                     qp: dict | None = None):
+                     qp: dict | None = None, feat_scales=None):
     """boxes (B, R, 4) -> (class_logits (B, R, C+1), deltas (B, R, C, 4)).
 
     ``qp``: calibrated int8 params for FC1/FC2 (models/quant.py,
-    cfg.int8_scope "full"); the cls/bbox predictors always stay bf16."""
+    cfg.int8_scope "full"); the cls/bbox predictors always stay bf16.
+    ``feat_scales``: per-level dequantization scales when ``feats`` are
+    int8 pyramid levels (cfg.int8_pyramid)."""
     B, R = boxes.shape[:2]
     pooled = roi_align_multilevel(feats, boxes, cfg.box_pooler_resolution,
                                   sampling=cfg.pooler_sampling_ratio,
                                   canonical_size=cfg.canonical_box_size,
                                   canonical_level=cfg.canonical_level,
-                                  use_pallas=use_pallas)
+                                  use_pallas=use_pallas,
+                                  feat_scales=feat_scales)
     x = pooled.reshape(B * R, -1)
     if qp is not None:
         from .quant import qlinear
@@ -55,17 +58,20 @@ def box_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
 
 def mask_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
                       cfg, dtype=jnp.bfloat16, use_pallas: bool = False,
-                      qp: dict | None = None):
+                      qp: dict | None = None, feat_scales=None):
     """boxes (B, D, 4) -> per-class mask logits (B, D, 2*res, 2*res, C).
 
     ``qp``: calibrated int8 params for the conv stack (models/quant.py,
-    cfg.int8_scope "full"); deconv + predictor always stay bf16."""
+    cfg.int8_scope "full"); deconv + predictor always stay bf16.
+    ``feat_scales``: per-level dequantization scales for int8 pyramid
+    levels (cfg.int8_pyramid)."""
     B, D = boxes.shape[:2]
     pooled = roi_align_multilevel(feats, boxes, cfg.mask_pooler_resolution,
                                   sampling=cfg.pooler_sampling_ratio,
                                   canonical_size=cfg.canonical_box_size,
                                   canonical_level=cfg.canonical_level,
-                                  use_pallas=use_pallas)
+                                  use_pallas=use_pallas,
+                                  feat_scales=feat_scales)
     x = pooled.reshape(B * D, cfg.mask_pooler_resolution,
                        cfg.mask_pooler_resolution, -1).astype(dtype)
     if qp is not None:
@@ -87,7 +93,11 @@ def mask_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
     # 2x transposed conv (stride-2 deconv, kernel 2). transpose_kernel=True
     # + (kh, kw, out, in) kernel layout reproduces torch.nn.ConvTranspose2d
     # exactly (pinned empirically; with in==out==256 a layout mistake passes
-    # shape checks silently — caught by the full-model torch parity test)
+    # shape checks silently — caught by the full-model torch parity test).
+    # NOTE: a blocked-matmul rewrite (per-pixel contraction producing the
+    # disjoint 2x2 output blocks, 1x1 predictor consumed in blocked layout)
+    # was tried and measured 13% SLOWER whole-model — XLA's conv_transpose
+    # lowering already fuses better than the hand-blocked dot here.
     p = params["deconv"]
     x = jax.lax.conv_transpose(
         x, p["w"].astype(dtype), strides=(2, 2), padding="VALID",

@@ -469,7 +469,8 @@ def roi_align_multilevel(feats: list, boxes: jnp.ndarray, out_size: int,
                          canonical_level: int = 4, min_level: int = 2,
                          max_level: int = 5, chunk: int = 0,
                          use_pallas: bool = False,
-                         use_gather: bool = False) -> jnp.ndarray:
+                         use_gather: bool = False,
+                         feat_scales=None) -> jnp.ndarray:
     """feats: [P2..P5] NHWC tensors; boxes: (B, R, 4) XYXY in image coords.
 
     Returns (B, R, out_size, out_size, C) float32 pooled features.
@@ -480,6 +481,10 @@ def roi_align_multilevel(feats: list, boxes: jnp.ndarray, out_size: int,
     caps the sample train at _ADAPTIVE_MAX slots.
     ``use_pallas`` selects the fused TPU kernel (inference path on real
     TPU; no VJP, so training keeps the XLA formulations).
+    ``feat_scales`` (n_levels,) marks ``feats`` as int8 pyramid levels
+    (cfg.int8_pyramid): the fused kernel folds each level's scale into
+    its interpolation weights (the int8 HBM reads halve the pooler's DMA
+    traffic); the XLA paths dequantize up front.
     """
     n_lev = reachable_levels(feats, canonical_size, canonical_level,
                              min_level)
@@ -491,7 +496,12 @@ def roi_align_multilevel(feats: list, boxes: jnp.ndarray, out_size: int,
                                sampling=sampling,
                                canonical_size=canonical_size,
                                canonical_level=canonical_level,
-                               min_level=min_level)
+                               min_level=min_level,
+                               feat_scales=feat_scales)
+    if feat_scales is not None:
+        scl = jnp.asarray(feat_scales, jnp.float32)
+        feats = [f.astype(jnp.float32) * scl[i]
+                 for i, f in enumerate(feats)]
     lvl = _level_assignment(boxes, canonical_size, canonical_level,
                             min_level, min_level + n_lev - 1)
     if use_gather:

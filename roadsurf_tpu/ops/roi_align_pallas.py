@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype,
-                 wb_offs, rbx=None, stage="full"):
+                 wb_offs, rbx=None, stage="full", scaled=False):
     """rbx: ROI sub-block size for the x-contraction. The block-diagonal
     x-matmul computes (P·RB)×(Wb·RB)×(P·C) flops of which only 1/RB are
     useful (the off-diagonal ROI pairs are zeros); splitting the ROI axis
@@ -96,6 +96,12 @@ def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype,
                 w = jnp.maximum(0.0, 1.0 - jnp.abs(cc - h))
                 wy = wy + jnp.where(valid, w, 0.0)
             wy = jnp.where(lvlr == float(li), wy / sampling, 0.0)
+            if scaled:
+                # int8 pyramid levels: fold the row's per-level
+                # dequantization scale (cols slot 5) into the y-weights —
+                # rows of other levels are already zeroed, so the row
+                # scale applies exactly once per pooled value
+                wy = wy * cols[:, 5:6]
             wy = wy.astype(jnp.bfloat16)
 
             # block-diagonal x-weight scaffolding per sub-block, cols
@@ -524,7 +530,7 @@ def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
                     canonical_size: int = 224, canonical_level: int = 4,
                     min_level: int = 2, out_dtype=jnp.bfloat16,
                     interpret: bool = False, rbx: int | None = None,
-                    stage: str = "full"):
+                    stage: str = "full", feat_scales=None):
     """Fused Pallas multilevel RoIAlign.
 
     out_dtype defaults to bf16: the consumers (box-head FC / mask convs,
@@ -573,8 +579,11 @@ def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
         rbx = 16 if RB % 16 == 0 else RB
     S = RB // rbx
     zero = jnp.zeros_like(x0)
+    # slot 5: the ROI's level dequantization scale (int8 pyramid feats)
+    scl = zero if feat_scales is None else \
+        jnp.asarray(feat_scales, jnp.float32)[lvl.astype(jnp.int32)]
     cols = jnp.stack([x0, bw, y0, bh, lvl.astype(jnp.float32),
-                      zero, zero, zero], axis=-1).astype(jnp.float32)
+                      scl, zero, zero], axis=-1).astype(jnp.float32)
     # row order (sub, bin, roi') — each x-contraction sub-block is then a
     # contiguous row range (see _make_kernel's rbx note)
     cols = cols.reshape(B, nj, S, 1, rbx, 8)
@@ -606,7 +615,8 @@ def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
     bits = touch.reshape(B, nj, RB, -1).any(axis=2).astype(jnp.int32)
 
     kern = _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes,
-                        out_dtype, wb_offs, rbx=rbx, stage=stage)
+                        out_dtype, wb_offs, rbx=rbx, stage=stage,
+                        scaled=feat_scales is not None)
 
     rows = P * RB
     in_specs = [pl.BlockSpec((1, rows, 8), lambda b, j, *_: (b, j, 0),

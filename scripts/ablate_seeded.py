@@ -118,6 +118,8 @@ def main():
                                  int8_scope="backbone"),
         "fast-R32+int8full": replace(base, rpn_post_nms_topk_test=32,
                                      int8_scope="full"),
+        "fast-R32+int8pyr": replace(base, rpn_post_nms_topk_test=32,
+                                    int8_scope="full", int8_pyramid=True),
     }
     if args.variants:
         keep = args.variants.split(",")

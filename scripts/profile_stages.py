@@ -46,7 +46,9 @@ def main():
     if os.environ.get("BENCH_INT8", "0") == "1":
         from dataclasses import replace
         cfg = replace(cfg,
-                      int8_scope=os.environ.get("BENCH_INT8_SCOPE", "full"))
+                      int8_scope=os.environ.get("BENCH_INT8_SCOPE", "full"),
+                      int8_pyramid=os.environ.get("BENCH_INT8_PYR",
+                                                  "1") == "1")
     use_pallas = bool(cfg.pallas_pooler) and jax.default_backend() == "tpu"
 
     S = cfg.min_size_test
@@ -69,16 +71,38 @@ def main():
         q = _quant_tree(params, cfg)
         if "backbone" in q:
             from roadsurf_tpu.models.quant import resnet_forward_int8
-            return resnet_forward_int8(q["backbone"], x)
+            pyr = q.get("pyr") if getattr(cfg, "int8_pyramid", False) \
+                else None
+            return resnet_forward_int8(
+                q["backbone"], x,
+                out_sas=pyr["res_sa"] if pyr is not None else None)
         from roadsurf_tpu.models.resnet import resnet_forward
         return resnet_forward(params["backbone"], x, dtype)
 
-    def st_fpn(params, images):
+    def _features(params, images):
+        """(fpn_feats, feat_scales) — the int8-pyramid path when active."""
         x = st_preprocess(params, images)
-        return forward_features(params, x, cfg, dtype)
+        q = _quant_tree(params, cfg)
+        pyr = q.get("pyr") if getattr(cfg, "int8_pyramid", False) else None
+        if pyr is not None:
+            from roadsurf_tpu.models.quant import (fpn_forward_int8_pyr,
+                                                   resnet_forward_int8)
+            res = resnet_forward_int8(q["backbone"], x,
+                                      out_sas=pyr["res_sa"])
+            return fpn_forward_int8_pyr(q["fpn"], pyr, res), pyr["out_sa"]
+        return forward_features(params, x, cfg, dtype), None
+
+    def st_fpn(params, images):
+        feats, scl = _features(params, images)
+        return [f.astype(jnp.float32).sum() for f in feats]
 
     def _rpn(params, feats):
         q = _quant_tree(params, cfg)
+        pyr = q.get("pyr") if getattr(cfg, "int8_pyramid", False) else None
+        if pyr is not None:
+            from roadsurf_tpu.models.quant import rpn_head_forward_int8_pyr
+            return rpn_head_forward_int8_pyr(q["rpn"], pyr, feats,
+                                             cfg.num_anchors, dtype)
         if "rpn" in q:
             from roadsurf_tpu.models.quant import rpn_head_forward_int8
             return rpn_head_forward_int8(q["rpn"], feats, cfg.num_anchors,
@@ -86,45 +110,46 @@ def main():
         return rpn_head_forward(params["rpn"], feats, cfg.num_anchors, dtype)
 
     def st_rpn_head(params, images):
-        return _rpn(params, st_fpn(params, images))
+        return _rpn(params, _features(params, images)[0])
 
     def _proposals(params, images):
-        feats = st_fpn(params, images)
+        feats, scl = _features(params, images)
         logits, deltas = _rpn(params, feats)
         props, pscores = select_proposals(
             logits, deltas, anchors, S, cfg.rpn_pre_nms_topk_test,
             cfg.rpn_post_nms_topk_test, cfg.rpn_nms_thresh,
             fast_nms=cfg.fast_nms)
-        return feats, props, pscores
+        return feats, scl, props, pscores
 
     def st_proposals(params, images):
-        _, props, pscores = _proposals(params, images)
+        _, _, props, pscores = _proposals(params, images)
         return props, pscores
 
     def st_box_head(params, images):
-        feats, props, pscores = _proposals(params, images)
+        feats, scl, props, pscores = _proposals(params, images)
         q = _quant_tree(params, cfg)
         return box_head_forward(params["box_head"], feats[:4], props, cfg,
                                 dtype, use_pallas=use_pallas,
-                                qp=q.get("box"))
+                                qp=q.get("box"), feat_scales=scl)
 
     def _dets(params, images):
-        feats, props, pscores = _proposals(params, images)
+        feats, scl, props, pscores = _proposals(params, images)
         q = _quant_tree(params, cfg)
         cl, bd = box_head_forward(params["box_head"], feats[:4], props, cfg,
                                   dtype, use_pallas=use_pallas,
-                                  qp=q.get("box"))
-        return feats, inference_detections(cl, bd, props, pscores, cfg, S)
+                                  qp=q.get("box"), feat_scales=scl)
+        return feats, scl, inference_detections(cl, bd, props, pscores,
+                                                cfg, S)
 
     def st_detections(params, images):
-        return _dets(params, images)[1]
+        return _dets(params, images)[2]
 
     def st_full(params, images):
-        feats, dets = _dets(params, images)
+        feats, scl, dets = _dets(params, images)
         q = _quant_tree(params, cfg)
         ml = mask_head_forward(params["mask_head"], feats[:4], dets["boxes"],
                                cfg, dtype, use_pallas=use_pallas,
-                               qp=q.get("mask"))
+                               qp=q.get("mask"), feat_scales=scl)
         cls = dets["classes"]
         dets["mask_logits"] = jnp.take_along_axis(
             ml, cls[:, :, None, None, None], axis=-1)[..., 0]

@@ -226,6 +226,20 @@ def test_roi_align_pallas_matches_xla():
     assert got.shape == (B, R, 7, 7, C)
     np.testing.assert_allclose(got, ref, atol=2e-2)
 
+    # int8-pyramid mode: int8 levels + per-level scales folded into the
+    # kernel's y-weights == dequantize-then-pool (cfg.int8_pyramid path)
+    scales = (0.11, 0.23, 0.47)
+    feats_i8 = tuple(
+        jnp.clip(jnp.round(f.astype(jnp.float32) / s), -127, 127
+                 ).astype(jnp.int8) for f, s in zip(feats, scales))
+    ref_q = np.asarray(roi_align_multilevel(
+        [f.astype(jnp.float32) * s for f, s in zip(feats_i8, scales)],
+        boxes, 7, sampling=2))
+    got_q = np.asarray(roi_align_fused(
+        feats_i8, boxes, 7, interpret=True,
+        feat_scales=jnp.asarray(scales, jnp.float32)))
+    np.testing.assert_allclose(got_q, ref_q, atol=2e-2)
+
 
 def test_roi_align_adaptive_sampling_matches_numpy():
     """POOLER_SAMPLING_RATIO=0 (per-ROI adaptive ceil sampling — the
@@ -348,6 +362,50 @@ def test_int8_full_scope_tracks_bf16_outputs():
     r, g = ref["scores"], got["scores"]
     assert np.all(np.isfinite(g))
     assert abs(float(r.mean()) - float(g.mean())) < 0.15
+
+
+def test_int8_pyramid_tracks_full_scope_outputs():
+    """cfg.int8_pyramid (int8 P-levels consumed directly by the RPN head
+    and the poolers, models/quant.py pyramid interface) produces
+    detections in the same ballpark as the int8 full-scope graph — the
+    pyramid adds exactly one quantization of the FPN outputs."""
+    from dataclasses import replace
+
+    from roadsurf_tpu.models import init_params
+    from roadsurf_tpu.models.mask_rcnn import forward_inference
+    from roadsurf_tpu.models.quant import prepare_quantized
+
+    rng = np.random.default_rng(4)
+    cfg = replace(fast_profile(post_nms_topk=16, detections_per_image=4),
+                  min_size_test=64, max_size_test=64,
+                  rpn_pre_nms_topk_test=64, pallas_pooler=False)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    for stage in ("res2", "res3", "res4", "res5"):
+        for bp in params["backbone"][stage]:
+            bp["conv3"]["scale"] = jnp.asarray(
+                rng.uniform(0.5, 1.5, bp["conv3"]["scale"].shape),
+                jnp.float32)
+    imgs = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+
+    qcfg = replace(cfg, int8_scope="full")
+    qparams = dict(params)
+    qparams["quant"] = prepare_quantized(params, imgs, qcfg)
+    ref = jax.device_get(forward_inference(qparams, jnp.asarray(imgs),
+                                           qcfg))
+
+    pcfg = replace(cfg, int8_scope="full", int8_pyramid=True)
+    pparams = dict(params)
+    pparams["quant"] = prepare_quantized(params, imgs, pcfg)
+    assert set(pparams["quant"]) == {"backbone", "fpn", "rpn", "box",
+                                     "mask", "pyr"}
+    got = jax.device_get(forward_inference(pparams, jnp.asarray(imgs),
+                                           pcfg))
+
+    assert got["boxes"].shape == ref["boxes"].shape
+    assert got["mask_logits"].shape == ref["mask_logits"].shape
+    assert np.all(np.isfinite(got["scores"]))
+    assert abs(float(ref["scores"].mean())
+               - float(got["scores"].mean())) < 0.15
 
 
 @pytest.mark.slow
