@@ -111,9 +111,17 @@ def forward_inference(params: dict, images: jnp.ndarray, cfg: ModelConfig,
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     native = images.shape[1]
     S = cfg.min_size_test if cfg.min_size_test else native
-    x = preprocess(images, cfg, S).astype(dtype)
 
     q = _quant_tree(params, cfg)
+    stem_u8 = q.get("backbone", {}).get("stem_u8")
+    if (stem_u8 is not None and images.dtype == jnp.uint8
+            and images.shape[1] == S and images.shape[2] == S
+            and stem_u8["bias"].shape[0] == -(-S // 2)):
+        # uint8-direct stem (quant.quantize_stem_u8): preprocess folds
+        # into the quantized stem conv, raw tiles feed the backbone
+        x = images
+    else:
+        x = preprocess(images, cfg, S).astype(dtype)
     pyr = q.get("pyr") if getattr(cfg, "int8_pyramid", False) else None
     feat_scales = None
     if pyr is not None:

@@ -121,6 +121,45 @@ def quantize_unit(p, act_scale: float):
     }
 
 
+def quantize_stem_u8(stem_p, pixel_mean, pixel_std, image_size: int):
+    """uint8-direct stem: consume raw tiles as EXACT int8, no preprocess.
+
+    ``q = img - 128`` is exactly representable in int8, so the float
+    normalize pass ((img-mean)/std) and the input quantization both
+    disappear: fold 1/std into the weights per INPUT channel, and fold
+    the constant offset ``offs = 128-mean`` into a positional bias map —
+    conv_pad0(x, w) == conv_pad0(q, w/std) + conv_pad0(offs·1_in, w/std)
+    where the second term is constant in the interior and varies only
+    where the 7x7 window hangs over the zero-padded border (x is padded
+    with zeros, q with exact -128-equivalent zeros — the bias map, built
+    by convolving the offs-constant image once at quantization time,
+    accounts for both). Input scale is exactly 1, so unlike the
+    calibrated-stem path this adds NO input rounding error; it removes
+    the ~6 ms/batch-512 u8→f32→i8 HBM round-trip (read 100 MB u8, write
+    400 MB f32, read f32, write 100 MB i8 → read u8, write i8)."""
+    w = np.asarray(stem_p["w"], np.float32) \
+        * np.asarray(stem_p["scale"], np.float32)
+    std = np.asarray(pixel_std, np.float32)
+    w = w / std[None, None, :, None]
+    sw = np.maximum(np.max(np.abs(w), axis=(0, 1, 2)) / _QMAX, 1e-12)
+    wq = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
+    # the folded weights already carry the 1/std, so the constant image
+    # convolved for the bias map is (128-mean), NOT (128-mean)/std
+    offs = 128.0 - np.asarray(pixel_mean, np.float32)
+    ones = jnp.asarray(np.broadcast_to(
+        offs, (1, image_size, image_size, 3)).astype(np.float32))
+    # use the DEQUANTIZED weights so the constant term matches the int8
+    # conv's own weight rounding exactly
+    wdq = jnp.asarray(wq.astype(np.float32) * sw)
+    k = wq.shape[0]
+    bmap = jax.lax.conv_general_dilated(
+        ones, wdq, window_strides=(2, 2), padding=[(k // 2, k // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+    bias = jnp.asarray(np.asarray(stem_p["bias"], np.float32)) + bmap
+    return {"wq": jnp.asarray(wq), "mult": jnp.asarray(sw, np.float32),
+            "bias": bias, "sa": jnp.asarray(np.float32(1.0))}
+
+
 def quantize_backbone(params, act_scales: dict):
     q: dict = {"stem": quantize_unit(params["stem"], act_scales[("stem",)])}
     for stage in ("res2", "res3", "res4", "res5"):
@@ -205,11 +244,17 @@ def prepare_int8_params(params, images_u8, cfg, image_size: int | None = None):
     S = image_size or cfg.min_size_test or images_u8.shape[1]
     x = preprocess(jnp.asarray(images_u8), cfg, S)
     scales = calibrate_backbone(params["backbone"], x, cfg)
-    return quantize_backbone(jax.device_get(params["backbone"]), scales)
+    host_bb = jax.device_get(params["backbone"])
+    q = quantize_backbone(host_bb, scales)
+    q["stem_u8"] = quantize_stem_u8(host_bb["stem"], cfg.pixel_mean,
+                                    cfg.pixel_std, S)
+    return q
 
 
 def resnet_forward_int8(qparams, images, out_sas=None):
-    """images: preprocessed f32 (B, H, W, 3); returns res2..res5 bf16 —
+    """images: preprocessed f32 (B, H, W, 3) — or RAW uint8 tiles when
+    ``qparams['stem_u8']`` exists and matches the input size (the
+    uint8-direct stem: :func:`quantize_stem_u8`); returns res2..res5 bf16 —
     or int8 in the given per-stage scales when ``out_sas`` is set
     (int8-pyramid mode: the FPN laterals' calibrated input scales, so the
     stage outputs stream straight into the quantized lateral convs and the
@@ -227,15 +272,23 @@ def resnet_forward_int8(qparams, images, out_sas=None):
     final output materializes bf16 (the FPN laterals' interface). The
     stem streams straight into res2[0]'s conv1 domain through an int8
     max pool."""
-    stem = qparams["stem"]
     first = qparams["res2"][0]
-    xq = _quantize_act(images.astype(jnp.float32), stem["sa"])
     # (a bit-exact space-to-depth 4x4 form of this 7x7 stride-2 stem was
     # tried — 2x2-blocked input, Cin 3->12, 4x fewer positions — and
     # measured ~3% SLOWER whole-model: the extra int8 relayout pass costs
     # more than the deeper contraction saves)
-    x8 = qconv_int8_in(xq, stem, stride=2, relu=True,
-                       sa_out=first["conv1"]["sa"])
+    if images.dtype == jnp.uint8 and "stem_u8" in qparams:
+        # uint8-direct: img - 128 is the two's-complement bit pattern
+        # img ^ 0x80 — one elementwise op, exact int8, no preprocess
+        qin = jax.lax.bitcast_convert_type(images ^ jnp.uint8(0x80),
+                                           jnp.int8)
+        x8 = qconv_int8_in(qin, qparams["stem_u8"], stride=2, relu=True,
+                           sa_out=first["conv1"]["sa"])
+    else:
+        stem = qparams["stem"]
+        xq = _quantize_act(images.astype(jnp.float32), stem["sa"])
+        x8 = qconv_int8_in(xq, stem, stride=2, relu=True,
+                           sa_out=first["conv1"]["sa"])
     x8 = max_pool_i8(x8, 3, 2)
     feats = {}
     stages = ("res2", "res3", "res4", "res5")
@@ -518,6 +571,10 @@ def prepare_quantized(params, images_u8, cfg, image_size: int | None = None):
 
     q = {"backbone": quantize_backbone(
         host["backbone"], calibrate_backbone(params["backbone"], x, cfg))}
+    # uint8-direct stem: only valid when inference consumes native-size
+    # tiles (no device resize) — forward_inference checks the size match
+    q["backbone"]["stem_u8"] = quantize_stem_u8(
+        host["backbone"]["stem"], cfg.pixel_mean, cfg.pixel_std, S)
     if scope == "backbone":
         return q
 

@@ -364,6 +364,58 @@ def test_int8_full_scope_tracks_bf16_outputs():
     assert abs(float(r.mean()) - float(g.mean())) < 0.15
 
 
+def test_u8_direct_stem_matches_float_stem():
+    """quantize_stem_u8: raw-uint8 stem (preprocess folded into the conv:
+    1/std in the weights, 128-mean in a positional bias map) matches the
+    float conv_bn stem at least as closely as the calibrated int8 stem —
+    the input quantization error disappears, the edge rows (where the 7x7
+    window overhangs the zero padding) are handled by the bias map."""
+    from dataclasses import replace
+
+    from roadsurf_tpu.models import init_params
+    from roadsurf_tpu.models.config import fast_profile
+    from roadsurf_tpu.models.mask_rcnn import preprocess
+    from roadsurf_tpu.models.quant import (_quantize_act, prepare_int8_params,
+                                           qconv_int8_in)
+    from roadsurf_tpu.models.resnet import conv_bn
+
+    rng = np.random.default_rng(0)
+    cfg = replace(fast_profile(), min_size_test=64, max_size_test=64,
+                  pixel_std=(57.375, 57.12, 58.395))
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    imgs = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    q = prepare_int8_params(params, imgs, cfg)
+    x = preprocess(jnp.asarray(imgs), cfg, 64)
+
+    ref = np.asarray(conv_bn(x.astype(jnp.float32),
+                             params["backbone"]["stem"], stride=2,
+                             dtype=jnp.float32))
+    qin = jax.lax.bitcast_convert_type(jnp.asarray(imgs) ^ jnp.uint8(0x80),
+                                       jnp.int8)
+    got = np.asarray(qconv_int8_in(qin, q["stem_u8"], stride=2, relu=True),
+                     np.float32)
+    xq = _quantize_act(x.astype(jnp.float32), q["stem"]["sa"])
+    cal = np.asarray(qconv_int8_in(xq, q["stem"], stride=2, relu=True),
+                     np.float32)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() <= np.abs(cal - ref).max() + 0.02 * scale
+    assert np.abs(got - ref).max() < 0.02 * scale
+    # edge rows (bias-map territory) no worse than the interior
+    e = np.abs(got - ref)
+    assert max(e[:, :2].max(), e[:, -2:].max(), e[:, :, :2].max(),
+               e[:, :, -2:].max()) < 0.02 * scale
+
+    # full int8 forward consumes raw uint8 when the stem_u8 size matches
+    from roadsurf_tpu.models.quant import resnet_forward_int8
+    fa = resnet_forward_int8(q, jnp.asarray(imgs))
+    fb = resnet_forward_int8({k: v for k, v in q.items() if k != "stem_u8"},
+                             x)
+    for k in fa:
+        d = np.abs(np.asarray(fa[k], np.float32)
+                   - np.asarray(fb[k], np.float32))
+        assert d.mean() < 0.05 * max(np.abs(np.asarray(fb[k])).max(), 1e-3)
+
+
 def test_int8_pyramid_tracks_full_scope_outputs():
     """cfg.int8_pyramid (int8 P-levels consumed directly by the RPN head
     and the poolers, models/quant.py pyramid interface) produces
