@@ -66,31 +66,41 @@ def main():
         return max_pool(conv_bn(x, params["backbone"]["stem"], stride=2,
                                 dtype=dtype), 3, 2)
 
+    def _bb_input(params, images, q):
+        # mirror forward_inference: the uint8-direct stem consumes raw
+        # tiles when present and the size matches (no preprocess pass)
+        stem_u8 = q.get("backbone", {}).get("stem_u8")
+        if (stem_u8 is not None and images.dtype == jnp.uint8
+                and images.shape[1] == S and images.shape[2] == S
+                and stem_u8["bias"].shape[0] == -(-S // 2)):
+            return images
+        return st_preprocess(params, images)
+
     def st_backbone(params, images):
-        x = st_preprocess(params, images)
         q = _quant_tree(params, cfg)
         if "backbone" in q:
             from roadsurf_tpu.models.quant import resnet_forward_int8
             pyr = q.get("pyr") if getattr(cfg, "int8_pyramid", False) \
                 else None
             return resnet_forward_int8(
-                q["backbone"], x,
+                q["backbone"], _bb_input(params, images, q),
                 out_sas=pyr["res_sa"] if pyr is not None else None)
         from roadsurf_tpu.models.resnet import resnet_forward
-        return resnet_forward(params["backbone"], x, dtype)
+        return resnet_forward(params["backbone"], st_preprocess(params, images), dtype)
 
     def _features(params, images):
         """(fpn_feats, feat_scales) — the int8-pyramid path when active."""
-        x = st_preprocess(params, images)
         q = _quant_tree(params, cfg)
         pyr = q.get("pyr") if getattr(cfg, "int8_pyramid", False) else None
         if pyr is not None:
             from roadsurf_tpu.models.quant import (fpn_forward_int8_pyr,
                                                    resnet_forward_int8)
-            res = resnet_forward_int8(q["backbone"], x,
+            res = resnet_forward_int8(q["backbone"],
+                                      _bb_input(params, images, q),
                                       out_sas=pyr["res_sa"])
             return fpn_forward_int8_pyr(q["fpn"], pyr, res), pyr["out_sa"]
-        return forward_features(params, x, cfg, dtype), None
+        return forward_features(params, st_preprocess(params, images),
+                                cfg, dtype), None
 
     def st_fpn(params, images):
         feats, scl = _features(params, images)
