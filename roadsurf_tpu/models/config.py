@@ -92,6 +92,12 @@ class ModelConfig:
     # single-sweep NMS (ops/nms.nms_sweep) instead of exact greedy: used by
     # the throughput profile; the parity profile keeps exact greedy
     fast_nms: bool = False
+    # spatial local-max pre-gate on RPN objectness before the pre-NMS top-k
+    # (models/rpn._local_max_gate): anchors a same-level neighbor is
+    # geometrically guaranteed to sweep-suppress are masked early, so the
+    # pre-NMS budget shrinks ~4x without spending it on NMS-doomed
+    # duplicates. Only honored with fast_nms (sweep semantics).
+    rpn_local_max_gate: bool = False
     # fused Pallas RoIAlign kernel for inference pooling on real TPU
     # (ops/roi_align_pallas.py); CPU/training keep the XLA formulations
     pallas_pooler: bool = True
@@ -149,11 +155,15 @@ def fast_profile(cfg: ModelConfig | None = None, *,
     cfg = cfg or ModelConfig()
     return replace(cfg,
                    min_size_test=256, max_size_test=256,
-                   rpn_pre_nms_topk_test=256,
+                   # the local-max gate removes the NMS-doomed neighbor
+                   # duplicates that used to fill the 256 budget: 64
+                   # gated candidates/level cover the same survivors
+                   rpn_pre_nms_topk_test=max(64, post_nms_topk),
                    rpn_post_nms_topk_test=post_nms_topk,
                    detections_per_image=detections_per_image,
                    pooler_sampling_ratio=2,
-                   fast_nms=True)
+                   fast_nms=True,
+                   rpn_local_max_gate=True)
 
 
 def dense_profile(cfg: ModelConfig | None = None) -> ModelConfig:

@@ -147,10 +147,14 @@ def forward_inference(params: dict, images: jnp.ndarray, cfg: ModelConfig,
                                               cfg.num_anchors, dtype)
     anchors = all_level_anchors(S, cfg.fpn_strides, cfg.anchor_sizes,
                                 cfg.anchor_aspect_ratios, cfg.anchor_offset)
+    gate_geom = [(cfg.num_anchors, cfg.anchor_aspect_ratios, st, sz)
+                 for st, sz in zip(cfg.fpn_strides, cfg.anchor_sizes)]
     proposals, prop_scores = select_proposals(
         logits, deltas, anchors, S, cfg.rpn_pre_nms_topk_test,
         cfg.rpn_post_nms_topk_test, cfg.rpn_nms_thresh,
-        fast_nms=getattr(cfg, "fast_nms", False))
+        fast_nms=getattr(cfg, "fast_nms", False),
+        local_max_gate=getattr(cfg, "rpn_local_max_gate", False),
+        gate_geom=gate_geom)
 
     # fused Pallas pooler on real TPU (inference only — no VJP); the XLA
     # formulations serve CPU tests and the training path

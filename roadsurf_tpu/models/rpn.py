@@ -11,6 +11,8 @@ always (B, post_nms_topk, 4).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,17 +40,81 @@ def rpn_head_forward(params: dict, feats: list, num_anchors: int = 3,
     return logits, deltas
 
 
+def _local_max_gate(lg: jnp.ndarray, num_anchors: int, aspect_ratios,
+                    stride: int, size: float, nms_thresh: float
+                    ) -> jnp.ndarray:
+    """Spatial local-max pre-gate for the sweep-NMS path.
+
+    Adjacent same-aspect anchors one stride apart are geometrically
+    guaranteed to overlap above the NMS threshold when
+    (side − stride)/(side + stride) > thresh along the shift axis — at the
+    pinned geometry (size/stride = 8 on every level,
+    detectron2_config_3bands.yaml:40-55, thresh 0.7) that holds for the
+    square AR along both axes (7/9 ≈ 0.778) and for the elongated ARs along
+    their LONG axis only (≈0.838; the short axis is ≈0.6996, just under).
+    Under single-sweep suppression (ops.nms.nms_sweep: a box dies iff ANY
+    higher-priority box overlaps it, kept or not), an anchor with a
+    higher-priority guaranteed-overlap neighbor therefore cannot survive —
+    so masking it to NEG_INF *before* the pre-NMS top-k is exact w.r.t. the
+    anchor-geometry sweep, and lets the top-k budget shrink ~4x without
+    spending it on NMS-doomed duplicates. (Decoded boxes can drift from
+    anchor geometry; the 5-seed ablation guards that approximation.)
+
+    Tie-breaking matches nms_sweep's score-then-flat-index priority: the
+    (y, x, a) row-major layout makes up/left neighbors lower-index (win
+    ties) and down/right higher-index (lose ties).
+    """
+    B, n = lg.shape
+    A = num_anchors
+    hw = n // A
+    side = int(round(math.sqrt(hw)))
+    if side * side != hw:
+        return lg          # non-square level: gate does not apply
+    area = float(size) ** 2
+    horiz, vert = [], []
+    for a in aspect_ratios:
+        w = math.sqrt(area / a)
+        h = a * w
+        horiz.append((w - stride) / (w + stride) > nms_thresh)
+        vert.append((h - stride) / (h + stride) > nms_thresh)
+    if not (any(horiz) or any(vert)):
+        return lg
+    x = lg.reshape(B, side, side, A)
+    neg = jnp.asarray(NEG_INF, x.dtype)
+    pad_r = jnp.full_like(x[:, :1], neg)
+    pad_c = jnp.full_like(x[:, :, :1], neg)
+    up = jnp.concatenate([pad_r, x[:, :-1]], axis=1)
+    down = jnp.concatenate([x[:, 1:], pad_r], axis=1)
+    left = jnp.concatenate([pad_c, x[:, :, :-1]], axis=2)
+    right = jnp.concatenate([x[:, :, 1:], pad_c], axis=2)
+    h_ok = jnp.asarray(horiz)        # (A,)
+    v_ok = jnp.asarray(vert)
+    drop = (h_ok & ((left >= x) | (right > x))) \
+        | (v_ok & ((up >= x) | (down > x)))
+    return jnp.where(drop, neg, x).reshape(B, n)
+
+
 def select_proposals(logits: list, deltas: list, anchors: list,
                      image_size: int, pre_nms_topk: int, post_nms_topk: int,
-                     nms_thresh: float, fast_nms: bool = False):
+                     nms_thresh: float, fast_nms: bool = False,
+                     local_max_gate: bool = False,
+                     gate_geom: list | None = None):
     """Decode + per-level top-k + level-aware NMS + global top-k.
 
     anchors: per-level (N_l, 4) numpy arrays. Returns (boxes (B, K, 4),
     scores (B, K)) with K = post_nms_topk; padding scores are NEG_INF.
+
+    local_max_gate (sweep path only): mask anchors that a same-level
+    spatial neighbor is geometrically guaranteed to sweep-suppress, BEFORE
+    the pre-NMS top-k (see _local_max_gate) — needs ``gate_geom``, a
+    per-level list of (num_anchors, aspect_ratios, stride, size).
     """
     B = logits[0].shape[0]
+    use_gate = local_max_gate and fast_nms and gate_geom is not None
     all_boxes, all_scores, all_lvl = [], [], []
     for l, (lg, dl, an) in enumerate(zip(logits, deltas, anchors)):
+        if use_gate:
+            lg = _local_max_gate(lg, *gate_geom[l], nms_thresh)
         n = lg.shape[1]
         k = min(pre_nms_topk, n)
         if fast_nms and n > 4 * k:

@@ -107,29 +107,27 @@ def determine_detected_class(predictions: pd.DataFrame, roads: GeoDataFrame,
     nat = sums["natural"] if "natural" in sums.columns else \
         pd.Series(0.0, index=sums.index)
 
-    rows = {"road_id": [], "cover_type": [], "nat_score": [],
-            "art_score": [], "diff_score": []}
-    for rid in road_ids:
-        if rid not in sums.index:
-            rows["road_id"].append(rid)
-            rows["cover_type"].append("undetected")
-            rows["nat_score"].append(0)
-            rows["art_score"].append(0)
-            rows["diff_score"].append(0)
-            continue
-        a = float(art.get(rid, 0.0))
-        n = float(nat.get(rid, 0.0))
-        rows["road_id"].append(rid)
-        if a == n:
-            rows["cover_type"].append("undetermined")
-            rows["diff_score"].append(0)
-        else:
-            rows["cover_type"].append("artificial" if a > n else "natural")
-            rows["diff_score"].append(abs(a - n))
-        rows["art_score"].append(round(a, 3))
-        rows["nat_score"].append(round(n, 3))
-
-    final = pd.DataFrame(rows)
+    # Loop-free tail (the reference's per-road loop, determine_class.py:122-190,
+    # runs inside final_metrics' 20-step threshold sweeps — O(R) numpy here):
+    # undetected roads get all-zero scores; detected roads argmax art/nat with
+    # ties -> "undetermined" and diff_score = |art - nat| (unrounded).
+    ids = pd.Index(road_ids)
+    detected = ids.isin(sums.index) if len(sums) else \
+        np.zeros(len(ids), bool)
+    a = art.reindex(ids, fill_value=0.0).to_numpy(dtype=float)
+    n = nat.reindex(ids, fill_value=0.0).to_numpy(dtype=float)
+    a = np.where(detected, a, 0.0)
+    n = np.where(detected, n, 0.0)
+    cover = np.where(~detected, "undetected",
+                     np.where(a == n, "undetermined",
+                              np.where(a > n, "artificial", "natural")))
+    final = pd.DataFrame({
+        "road_id": road_ids,
+        "cover_type": cover,
+        "nat_score": np.where(detected, n.round(3), 0.0),
+        "art_score": np.where(detected, a.round(3), 0.0),
+        "diff_score": np.where(detected & (a != n), np.abs(a - n), 0.0),
+    })
     keep = ["OBJECTID", "geometry"]
     if "gt_type" in roads.columns:
         keep.extend(["CATEGORY", "gt_type"])

@@ -71,7 +71,7 @@ def detect_tiles(params, cfg: ModelConfig, image_paths: list[str],
                  tile_bounds: list, batch_size: int = 16,
                  score_thresh: float = 0.05, rdp_eps: float = 0.75,
                  tile_size: int = 256, progress_every: int = 50,
-                 scan_k: int = 1, mask_format: str = "u8"):
+                 scan_k: int = 1, mask_format: str = "bits"):
     """Run inference over tile images; yields per-detection records
     (geometry in EPSG:3857 of the tile bounds, score, det_class).
 
@@ -216,7 +216,7 @@ def detect_dataset(params, cfg: ModelConfig, coco: dict, images_dir: str,
 
 
 def run(cfg: dict, model_cfg: ModelConfig | None = None,
-        batch_size: int = 16, mask_format: str = "u8") -> list[str]:
+        batch_size: int = 16, mask_format: str = "bits") -> list[str]:
     """Execute the ``make_detections.py`` YAML block."""
     import jax
 

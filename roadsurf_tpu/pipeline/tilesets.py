@@ -196,7 +196,11 @@ def run(cfg: dict, opener=None) -> list[str]:
     tile_size = int(cfg.get("tile_size", 256))
     overwrite = bool(cfg.get("overwrite", False))
     n_jobs = int(cfg.get("n_jobs", 10))
+    # the reference uses both spellings: a dict (config_obj_detec.yaml:33-35)
+    # and a bare scalar (config_stats.yaml:34 "debug_mode: true")
     debug = cfg.get("debug_mode", {}) or {}
+    if not isinstance(debug, dict):
+        debug = {"enable": bool(debug)}
     ds_cfg = cfg["datasets"]
     manifest = Manifest()
 

@@ -37,11 +37,12 @@ def main():
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--scan-k", type=int, default=1,
                     help="batches folded into one dispatch (lax.map)")
-    ap.add_argument("--mask-format", default="u8",
+    ap.add_argument("--mask-format", default="bits",
                     choices=("u8", "bits"),
-                    help="mask downlink: u8 probs (reference paste "
-                         "semantics) or packed device-thresholded bits "
-                         "(8x less d2h)")
+                    help="mask downlink: packed device-thresholded bits "
+                         "(deployment default, 8x less d2h; quality-free "
+                         "on 5 paired seeds — BASELINE.md) or u8 probs "
+                         "(reference paste semantics)")
     args = ap.parse_args()
 
     import jax

@@ -103,8 +103,7 @@ def main():
                                 cfg, dtype), None
 
     def st_fpn(params, images):
-        feats, scl = _features(params, images)
-        return [f.astype(jnp.float32).sum() for f in feats]
+        return _features(params, images)[0]
 
     def _rpn(params, feats):
         q = _quant_tree(params, cfg)
@@ -122,13 +121,18 @@ def main():
     def st_rpn_head(params, images):
         return _rpn(params, _features(params, images)[0])
 
+    gate_geom = [(cfg.num_anchors, cfg.anchor_aspect_ratios, st, sz)
+                 for st, sz in zip(cfg.fpn_strides, cfg.anchor_sizes)]
+
     def _proposals(params, images):
         feats, scl = _features(params, images)
         logits, deltas = _rpn(params, feats)
         props, pscores = select_proposals(
             logits, deltas, anchors, S, cfg.rpn_pre_nms_topk_test,
             cfg.rpn_post_nms_topk_test, cfg.rpn_nms_thresh,
-            fast_nms=cfg.fast_nms)
+            fast_nms=cfg.fast_nms,
+            local_max_gate=getattr(cfg, "rpn_local_max_gate", False),
+            gate_geom=gate_geom)
         return feats, scl, props, pscores
 
     def st_proposals(params, images):
@@ -204,10 +208,14 @@ def main():
     for name, fn in stages:
         def scalar_fn(p, x, _fn=fn):
             # reduce to ONE scalar inside the jit: the timed loop is then
-            # exactly one dispatch + one scalar fetch per step
-            out = _fn(p, x)
-            return sum(jnp.sum(l.astype(jnp.float32))
-                       for l in jax.tree.leaves(out))
+            # exactly one dispatch + one scalar fetch per step. The
+            # optimization_barrier forces the stage's declared outputs to
+            # MATERIALIZE before the reduction — without it XLA fuses the
+            # sum into the producers and elides the interface HBM writes,
+            # under-measuring boundary stages (advisor r3 finding).
+            out = jax.lax.optimization_barrier(
+                [l for l in jax.tree.leaves(_fn(p, x))])
+            return sum(jnp.sum(l.astype(jnp.float32)) for l in out)
 
         jfn = jax.jit(scalar_fn)
         try:

@@ -85,6 +85,11 @@ def write_data_dir(root: str, n_grid: int = 3,
     write_file(synthetic_forests(),
                os.path.join(data, "swissTLM3D", "forests.shp"))
     write_file(synthetic_aoi(), os.path.join(data, "AOI", "aoi.shp"))
+    # restricted training AOI (reference config_obj_detec.yaml:15): covers
+    # the whole scene by default so every label stays ground truth; tests
+    # exercising the GT/OTH split overwrite it with a sub-area
+    write_file(synthetic_aoi(),
+               os.path.join(data, "AOI", "2_tiles_AOI.shp"))
     write_xlsx(roads_parameters_df(),
                os.path.join(data, "roads_parameters.xlsx"))
     return data

@@ -1,0 +1,183 @@
+"""Generate the committed golden arrays for the op-parity tests.
+
+The goldens pin the semantics of the reference's two CUDA custom ops
+(ROIAlignV2 `aligned=True` — reference detectron2_config_3bands.yaml:174,221
+— and greedy NMS :190,245) via a deliberately naive scalar transcription of
+the published algorithm (the torchvision/detectron2 C++ kernel semantics:
+half-pixel offset, bilinear with the [-1, size] border rule, per-bin uniform
+sample grid averaged, adaptive grid = ceil(bin) when sampling_ratio == 0).
+This file shares NO code with the production implementations
+(ops/roi_align.py's separable/closed-form/Pallas paths), so it is an
+independent oracle that runs in any environment.
+
+If torchvision is importable, every golden is additionally verified against
+torchvision.ops.{roi_align,nms} before being written — rerun this script in
+a torchvision environment to re-certify:
+
+    python tests/golden/make_golden.py
+"""
+
+import math
+import os
+
+import numpy as np
+
+
+# --- scalar ROIAlignV2 (aligned=True) --------------------------------------
+
+def _bilinear(feat: np.ndarray, y: float, x: float) -> np.ndarray:
+    """torchvision bilinear_interpolate: zero outside [-1, size]; clamp the
+    sub-−0 coordinates to 0; top edge interpolates flat."""
+    H, W = feat.shape[:2]
+    if y < -1.0 or y > H or x < -1.0 or x > W:
+        return np.zeros(feat.shape[2:], feat.dtype)
+    y = max(y, 0.0)
+    x = max(x, 0.0)
+    y_low, x_low = int(y), int(x)
+    if y_low >= H - 1:
+        y_high = y_low = H - 1
+        y = float(y_low)
+    else:
+        y_high = y_low + 1
+    if x_low >= W - 1:
+        x_high = x_low = W - 1
+        x = float(x_low)
+    else:
+        x_high = x_low + 1
+    ly, lx = y - y_low, x - x_low
+    hy, hx = 1.0 - ly, 1.0 - lx
+    return (hy * hx * feat[y_low, x_low] + hy * lx * feat[y_low, x_high]
+            + ly * hx * feat[y_high, x_low] + ly * lx * feat[y_high, x_high])
+
+
+def roi_align_scalar(feat: np.ndarray, boxes: np.ndarray, out_size: int,
+                     sampling_ratio: int, spatial_scale: float = 1.0
+                     ) -> np.ndarray:
+    """feat (H, W, C), boxes (R, 4) xyxy -> (R, P, P, C). aligned=True."""
+    R = boxes.shape[0]
+    C = feat.shape[2]
+    P = out_size
+    out = np.zeros((R, P, P, C), np.float64)
+    for r in range(R):
+        x0, y0, x1, y1 = (boxes[r] * spatial_scale) - 0.5  # aligned offset
+        roi_w = x1 - x0
+        roi_h = y1 - y0
+        bin_w = roi_w / P
+        bin_h = roi_h / P
+        grid_w = sampling_ratio if sampling_ratio > 0 \
+            else int(math.ceil(roi_w / P))
+        grid_h = sampling_ratio if sampling_ratio > 0 \
+            else int(math.ceil(roi_h / P))
+        grid_w = max(grid_w, 1)
+        grid_h = max(grid_h, 1)
+        for ph in range(P):
+            for pw in range(P):
+                acc = np.zeros(C, np.float64)
+                for iy in range(grid_h):
+                    y = y0 + ph * bin_h + (iy + 0.5) * bin_h / grid_h
+                    for ix in range(grid_w):
+                        x = x0 + pw * bin_w + (ix + 0.5) * bin_w / grid_w
+                        acc += _bilinear(feat, y, x)
+                out[r, ph, pw] = acc / (grid_h * grid_w)
+    return out.astype(np.float32)
+
+
+# --- scalar greedy NMS ------------------------------------------------------
+
+def nms_scalar(boxes: np.ndarray, scores: np.ndarray,
+               iou_thresh: float) -> np.ndarray:
+    """torchvision.ops.nms semantics: descending score (stable ties by
+    index), suppress IoU > thresh. Returns kept indices in keep order."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    for i in order:
+        ok = True
+        for j in keep:
+            xx0 = max(boxes[i, 0], boxes[j, 0])
+            yy0 = max(boxes[i, 1], boxes[j, 1])
+            xx1 = min(boxes[i, 2], boxes[j, 2])
+            yy1 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(xx1 - xx0, 0.0) * max(yy1 - yy0, 0.0)
+            a1 = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            a2 = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / (a1 + a2 - inter) > iou_thresh:
+                ok = False
+                break
+        if ok:
+            keep.append(int(i))
+    return np.asarray(keep, np.int64)
+
+
+# --- the pinned test inputs (must match tests/test_torch_parity.py) ---------
+
+def case_roi_align_fixed():
+    rng = np.random.default_rng(0)
+    feat = rng.normal(size=(32, 32, 8)).astype(np.float32)
+    boxes = np.array([[4.0, 6.0, 27.5, 30.0],
+                      [0.0, 0.0, 10.0, 8.0],
+                      [12.3, 4.7, 25.1, 19.9]], np.float32)
+    return feat, boxes, 7, 2
+
+
+def case_roi_align_adaptive():
+    rng = np.random.default_rng(1)
+    feat = rng.normal(size=(40, 40, 8)).astype(np.float32)
+    boxes = np.array([[4.0, 6.0, 7.0, 9.1],
+                      [2.0, 2.0, 14.0, 12.5],
+                      [1.0, 3.0, 20.0, 23.8],
+                      [0.5, 0.5, 28.0, 26.0]], np.float32)
+    return feat, boxes, 7, 0
+
+
+def case_nms():
+    rng = np.random.default_rng(5)
+    b = rng.uniform(0, 200, (200, 4)).astype(np.float32)
+    b = np.concatenate([np.minimum(b[:, :2], b[:, 2:]),
+                        np.maximum(b[:, :2], b[:, 2:]) + 5], 1)
+    s = rng.uniform(0, 1, 200).astype(np.float32)
+    return b, s, 0.5
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        import torch
+        import torchvision
+    except ImportError:
+        torchvision = None
+        print("torchvision not available: goldens from the scalar oracle "
+              "only (re-run under torchvision to certify)")
+
+    out = {}
+    for name, case in (("roi_align_fixed", case_roi_align_fixed()),
+                       ("roi_align_adaptive", case_roi_align_adaptive())):
+        feat, boxes, P, sr = case
+        gold = roi_align_scalar(feat, boxes, P, sr)
+        if torchvision is not None:
+            rois = torch.from_numpy(np.concatenate(
+                [np.zeros((len(boxes), 1), np.float32), boxes], 1))
+            tv = torchvision.ops.roi_align(
+                torch.from_numpy(feat.transpose(2, 0, 1)[None]), rois,
+                output_size=P, spatial_scale=1.0, sampling_ratio=sr,
+                aligned=True).numpy().transpose(0, 2, 3, 1)
+            np.testing.assert_allclose(gold, tv, atol=1e-5)
+            print(f"{name}: scalar oracle == torchvision")
+        out[name] = gold
+
+    b, s, t = case_nms()
+    gold_keep = nms_scalar(b, s, t)
+    if torchvision is not None:
+        tv_keep = torchvision.ops.nms(torch.from_numpy(b),
+                                      torch.from_numpy(s), t).numpy()
+        np.testing.assert_array_equal(gold_keep, tv_keep)
+        print("nms: scalar oracle == torchvision")
+    out["nms_keep"] = gold_keep
+
+    path = os.path.join(here, "op_goldens.npz")
+    np.savez_compressed(path, **out)
+    print(f"wrote {path}: " + ", ".join(
+        f"{k}{v.shape}" for k, v in out.items()))
+
+
+if __name__ == "__main__":
+    main()

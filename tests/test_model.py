@@ -621,3 +621,78 @@ def test_roi_align_blocked_pallas_matches_separable():
         tuple(f[:1].astype(jnp.bfloat16) for f in feats), small, 14,
         sampling=0, interpret=True, out_dtype=jnp.float32))
     np.testing.assert_allclose(got14, ref14, atol=5e-3)
+
+
+def test_local_max_gate_exact_under_sweep_at_anchor_geometry():
+    """With zero deltas (decoded boxes == anchors) the local-max pre-gate
+    must not change select_proposals' sweep-NMS output: every gated anchor
+    is geometrically guaranteed to be sweep-suppressed."""
+    from roadsurf_tpu.models.rpn import select_proposals
+
+    cfg = fast_profile(post_nms_topk=32)
+    S = 64   # small image => small levels: the exactness check runs the
+    #          sweep over EVERY anchor (pre-NMS = level size), which is
+    #          O(n^2) — 16x16x3 at P2 keeps that CPU-friendly
+    anchors = all_level_anchors(S, cfg.fpn_strides, cfg.anchor_sizes,
+                                cfg.anchor_aspect_ratios, cfg.anchor_offset)
+    gate_geom = [(cfg.num_anchors, cfg.anchor_aspect_ratios, st, sz)
+                 for st, sz in zip(cfg.fpn_strides, cfg.anchor_sizes)]
+    rng = np.random.default_rng(7)
+    B = 3
+    logits = [jnp.asarray(rng.normal(size=(B, a.shape[0]))
+                          .astype(np.float32)) for a in anchors]
+    # adversarial ties: quantize scores so equal-score neighbor chains occur
+    logits = [jnp.round(lg * 4) / 4 for lg in logits]
+    deltas = [jnp.zeros((B, a.shape[0], 4), jnp.float32) for a in anchors]
+
+    # pre-NMS budget >= level size so the top-k boundary cannot differ
+    pre = max(a.shape[0] for a in anchors)
+    base_b, base_s = select_proposals(
+        logits, deltas, anchors, S, pre, 32, cfg.rpn_nms_thresh,
+        fast_nms=True)
+    gated_b, gated_s = select_proposals(
+        logits, deltas, anchors, S, pre, 32, cfg.rpn_nms_thresh,
+        fast_nms=True, local_max_gate=True, gate_geom=gate_geom)
+    np.testing.assert_array_equal(np.asarray(base_s), np.asarray(gated_s))
+    np.testing.assert_array_equal(np.asarray(base_b), np.asarray(gated_b))
+
+
+def test_local_max_gate_directions_and_ties():
+    """Gate rules per aspect ratio at the pinned geometry (size/stride=8,
+    thresh 0.7): the wide AR (0.5) gates only horizontally, the tall AR
+    (2.0) only vertically, the square both; ties lose to the lower flat
+    index (up/left neighbors)."""
+    from roadsurf_tpu.models.rpn import _local_max_gate
+    from roadsurf_tpu.ops.nms import NEG_INF
+
+    A, side, stride, size = 3, 8, 4, 32.0
+    ars = (0.5, 1.0, 2.0)
+    x = np.zeros((1, side, side, A), np.float32)
+
+    # wide AR (idx 0): a higher VERTICAL neighbor must NOT gate (IoU 0.6996
+    # < 0.7), a higher horizontal one must
+    x[0, 3, 3, 0] = 1.0
+    x[0, 2, 3, 0] = 2.0          # up neighbor higher: vertical only
+    x[0, 5, 5, 0] = 1.0
+    x[0, 5, 4, 0] = 2.0          # left neighbor higher: horizontal
+    # tall AR (idx 2): mirror
+    x[0, 3, 3, 2] = 1.0
+    x[0, 3, 2, 2] = 2.0          # left neighbor higher: horizontal only
+    x[0, 5, 5, 2] = 1.0
+    x[0, 4, 5, 2] = 2.0          # up neighbor higher: vertical
+    # square AR (idx 1): tie chain along a row — only the leftmost survives
+    x[0, 1, 1, 1] = 3.0
+    x[0, 1, 2, 1] = 3.0
+    x[0, 1, 3, 1] = 3.0
+
+    g = np.asarray(_local_max_gate(
+        jnp.asarray(x.reshape(1, -1)), A, ars, stride, size, 0.7)
+    ).reshape(1, side, side, A)
+
+    assert g[0, 3, 3, 0] == 1.0            # wide: vertical neighbor ignored
+    assert g[0, 5, 5, 0] <= NEG_INF / 2    # wide: horizontal gates
+    assert g[0, 3, 3, 2] == 1.0            # tall: horizontal ignored
+    assert g[0, 5, 5, 2] <= NEG_INF / 2    # tall: vertical gates
+    assert g[0, 1, 1, 1] == 3.0            # tie: lowest index survives
+    assert g[0, 1, 2, 1] <= NEG_INF / 2
+    assert g[0, 1, 3, 1] <= NEG_INF / 2

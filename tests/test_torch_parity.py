@@ -365,3 +365,61 @@ def test_roi_align_adaptive_sampling_matches_torchvision():
     out_g = np.asarray(_roi_align_gather(
         feats, jnp.asarray(boxes[None]), lvl, 7, 0, min_level=0))[0]
     np.testing.assert_allclose(out_g, ref, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Committed golden oracles (tests/golden/op_goldens.npz): environment-
+# independent versions of the torchvision assertions above. The goldens are
+# produced by tests/golden/make_golden.py — a naive scalar transcription of
+# the pinned CUDA-op semantics (ROIAlignV2 aligned bilinear, greedy NMS)
+# sharing no code with the production implementations, and re-certified
+# against torchvision whenever that is installed (the generator asserts
+# equality before writing). These always run; the @needs_torchvision tests
+# above stay as the live-oracle lane.
+
+import os as _os
+
+_GOLDEN = np.load(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                "golden", "op_goldens.npz"))
+
+
+def test_roi_align_matches_golden_fixed_sampling():
+    from golden.make_golden import case_roi_align_fixed
+    from roadsurf_tpu.ops.roi_align import _roi_align_separable
+
+    feat, boxes, P, sr = case_roi_align_fixed()
+    ref = _GOLDEN["roi_align_fixed"]
+    feats = [jnp.asarray(feat[None])] * 4
+    lvl = jnp.zeros((1, len(boxes)), jnp.int32)
+    out_sep = np.asarray(_roi_align_separable(
+        feats, jnp.asarray(boxes[None]), lvl, P, sr, min_level=0))[0]
+    np.testing.assert_allclose(out_sep, ref, atol=2e-4)
+    out_g = np.asarray(_roi_align_gather(
+        feats, jnp.asarray(boxes[None]), lvl, P, sr, min_level=0))[0]
+    np.testing.assert_allclose(out_g, ref, atol=2e-4)
+
+
+def test_roi_align_matches_golden_adaptive_sampling():
+    from golden.make_golden import case_roi_align_adaptive
+    from roadsurf_tpu.ops.roi_align import _roi_align_separable
+
+    feat, boxes, P, sr = case_roi_align_adaptive()
+    ref = _GOLDEN["roi_align_adaptive"]
+    feats = [jnp.asarray(feat[None])] * 4
+    lvl = jnp.zeros((1, len(boxes)), jnp.int32)
+    out_sep = np.asarray(_roi_align_separable(
+        feats, jnp.asarray(boxes[None]), lvl, P, sr, min_level=0))[0]
+    np.testing.assert_allclose(out_sep, ref, atol=2e-4)
+    out_g = np.asarray(_roi_align_gather(
+        feats, jnp.asarray(boxes[None]), lvl, P, sr, min_level=0))[0]
+    np.testing.assert_allclose(out_g, ref, atol=2e-4)
+
+
+def test_nms_matches_golden():
+    from golden.make_golden import case_nms
+
+    b, s, t = case_nms()
+    ref_keep = _GOLDEN["nms_keep"]
+    ks, ki = nms_fixed(jnp.asarray(b), jnp.asarray(s), t, len(b))
+    mine = np.asarray([int(i) for i, sc in zip(ki, ks) if sc > -1e9])
+    np.testing.assert_array_equal(mine, ref_keep)
