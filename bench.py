@@ -77,9 +77,9 @@ def main():
 
     # k-batch on-device scan: lax.map loops the forward k times inside ONE
     # dispatch, amortizing the ~25 ms relay/launch latency (k=1 falls back
-    # to the plain per-batch fn)
+    # to the plain per-batch fn). k=16 amortizes the floor to ~2 ms.
     scan_k = int(os.environ.get("BENCH_SCANK",
-                                "8" if profile != "parity" else "1"))
+                                "16" if profile != "parity" else "1"))
     if scan_k > 1:
         fn = jax.jit(make_inference_scan_fn(cfg, with_masks=True))
         shape = (scan_k, batch, 256, 256, 3)

@@ -244,6 +244,9 @@ def compute_losses(params, batch, key, cfg: ModelConfig, image_size: int):
 
     # ---- mask head --------------------------------------------------------
     M = int(T * cfg.roi_positive_fraction)
+    cap = int(getattr(cfg, "train_mask_rois", 0) or 0)
+    if cap > 0:
+        M = min(M, cap)      # static pad budget; see ModelConfig docstring
 
     def mask_pick_one(props, matched, cls, is_pos, k):
         idx, valid = gather_topk_mask(is_pos, k, M)
@@ -407,3 +410,22 @@ def jitted_train_step(cfg: ModelConfig, image_size: int, mesh=None):
         else:
             _JITTED_STEPS[key] = jax.jit(fn)
     return _JITTED_STEPS[key]
+
+
+def make_train_scan_step(cfg: ModelConfig, image_size: int, k: int):
+    """k optimizer steps inside ONE dispatch: lax.scan over a stacked
+    batch dict of (k, B, ...) arrays. The host pays one dispatch + one
+    metrics fetch per k steps — on dispatch-latency-bound links (the
+    tunneled dev chip; any remote host) this exposes the device-bound
+    step time the per-step loop hides. Returns (state, metrics of the
+    last step)."""
+    step = make_train_step(cfg, image_size)
+
+    def fn(state, batches):
+        def body(st, b):
+            return step(st, b)
+
+        state, ms = jax.lax.scan(body, state, batches)
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return fn

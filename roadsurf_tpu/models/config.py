@@ -126,6 +126,18 @@ class ModelConfig:
     # each stage's activations from the backward liveness — the 1016-ROI
     # box/mask pooling otherwise OOMs HBM at large tile batches
     train_remat: bool = False
+    # static cap on mask-branch ROIs per image during training. detectron2
+    # runs its mask head on however many positives the ROI sampler drew
+    # (dynamic, <= BATCH_SIZE_PER_IMAGE * POSITIVE_FRACTION = 256 at the
+    # reference budget); the fixed-shape port must pad to a static M, and
+    # padding COMPUTES — at the reference budget the padded 256-ROI mask
+    # branch was 61% of the whole train step (5.8 of 7.2 TFLOP) while road
+    # tiles yield a few dozen real positives. 128 keeps the math identical
+    # to the exact cap whenever <=128 positives exist (the selection
+    # priorities order valid entries first — pinned by test) and halves
+    # the branch otherwise by subsampling positives, standard SGD noise.
+    # 0 = the exact detectron2 cap.
+    train_mask_rois: int = 128
     # chunk the training mask branch (pool + convs + deconv + targets +
     # loss) over the tile batch with lax.map: peak HBM for the branch drops
     # to batch/train_head_chunks images. Even rematted, the 254-ROI

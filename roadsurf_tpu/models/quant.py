@@ -337,6 +337,40 @@ def quantize_plain(p, act_scale: float):
     }
 
 
+def quantize_deconv(p, act_scale: float):
+    """Per-output-channel int8 for the mask head's 2x2/2 ConvTranspose unit
+    {'w' (kh, kw, out, in), 'b'} — output channels on axis 2 (the
+    transpose_kernel=True torch layout, roi_heads.mask_head_forward)."""
+    w = np.asarray(p["w"], np.float32)
+    sw = np.max(np.abs(np.moveaxis(w, 2, -1).reshape(-1, w.shape[2])),
+                axis=0) / _QMAX
+    sw = np.maximum(sw, 1e-12)
+    wq = np.clip(np.round(w / sw[None, None, :, None]), -127, 127) \
+        .astype(np.int8)
+    return {
+        "wq": jnp.asarray(wq),
+        "mult": jnp.asarray(act_scale * sw, np.float32),
+        "bias": jnp.asarray(np.asarray(p["b"], np.float32)),
+        "sa": jnp.asarray(np.float32(act_scale)),
+    }
+
+
+def qdeconv_int8_in(xq, qp, relu=True, sa_out=None):
+    """2x stride-2 ConvTranspose on an int8 input in qp's domain, int32
+    accumulation, f32 epilogue (same contract as qconv_int8_in)."""
+    y = jax.lax.conv_transpose(
+        xq, qp["wq"], strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+    y = y * qp["mult"] + qp["bias"]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    if sa_out is None:
+        return y.astype(jnp.bfloat16)
+    q = jnp.round(y * (1.0 / sa_out))
+    return jnp.clip(q, -_QMAX, _QMAX).astype(jnp.int8)
+
+
 def qlinear(x, qp, relu=False):
     """int8 matmul with int32 accumulation; f32 epilogue, bf16 out."""
     xq = _quantize_act(x.astype(jnp.float32), qp["sa"])
@@ -391,23 +425,46 @@ def fpn_forward_int8_pyr(qp, pyr, feats_i8, dtype=jnp.bfloat16):
     """int8-pyramid FPN: consumes int8 ResNet stage outputs (already in
     the lateral convs' activation scales — resnet_forward_int8 with
     ``out_sas``) and emits [P2..P6] as int8 in the calibrated per-level
-    output scales ``pyr['out_sa']``. The laterals' epilogues, the top-down
-    adds and the output convs' requantize all fuse around the convs, so
-    no bf16 P-level ever round-trips HBM; P6 is an exact int8 subsample
-    of P5 (1x1 window, stride 2 — scale shared)."""
+    output scales ``pyr['out_sa']``. With ``pyr['lat_sa']`` present the
+    TOP-DOWN pathway itself is int8 too: laterals emit int8 in their own
+    calibrated scales, the nearest upsample replicates int8 exactly, and
+    each top-down add runs f32 fused (dequant + add + requant into the
+    output conv's input scale) — at 256px the bf16 P2-sized top-down
+    round-trips were the FPN's dominant remaining HBM traffic. P6 is an
+    exact int8 subsample of P5 (1x1 window, stride 2 — scale shared)."""
     from .fpn import upsample2x_nearest
 
     out_sa = pyr["out_sa"]
     names = ["res2", "res3", "res4", "res5"]
-    laterals = [qconv_int8_in(feats_i8[n], qp[f"lateral{i + 2}"],
-                              relu=False)
-                for i, n in enumerate(names)]
-    tds = [None] * 4
-    tds[3] = laterals[3]
-    for i in (2, 1, 0):
-        tds[i] = (laterals[i] + upsample2x_nearest(tds[i + 1])).astype(dtype)
-    outs = [qconv_unit_out(tds[i], qp[f"output{i + 2}"], out_sa[i])
-            for i in range(4)]
+    lat_sa = pyr.get("lat_sa")
+    if lat_sa is None:                      # legacy tree: bf16 top-down
+        laterals = [qconv_int8_in(feats_i8[n], qp[f"lateral{i + 2}"],
+                                  relu=False)
+                    for i, n in enumerate(names)]
+        tds = [None] * 4
+        tds[3] = laterals[3]
+        for i in (2, 1, 0):
+            tds[i] = (laterals[i]
+                      + upsample2x_nearest(tds[i + 1])).astype(dtype)
+        outs = [qconv_unit_out(tds[i], qp[f"output{i + 2}"], out_sa[i])
+                for i in range(4)]
+    else:
+        td_sa = [qp[f"output{i + 2}"]["sa"] for i in range(4)]
+        laterals = [qconv_int8_in(feats_i8[n], qp[f"lateral{i + 2}"],
+                                  relu=False, sa_out=lat_sa[i])
+                    for i, n in enumerate(names)]
+        tds = [None] * 4
+        # top level: rescale lat scale -> output conv's input scale
+        tds[3] = _quantize_act(
+            laterals[3].astype(jnp.float32) * lat_sa[3], td_sa[3])
+        for i in (2, 1, 0):
+            up = upsample2x_nearest(tds[i + 1])
+            s = laterals[i].astype(jnp.float32) * lat_sa[i] \
+                + up.astype(jnp.float32) * td_sa[i + 1]
+            tds[i] = _quantize_act(s, td_sa[i])
+        outs = [qconv_int8_in(tds[i], qp[f"output{i + 2}"],
+                              relu=False, sa_out=out_sa[i])
+                for i in range(4)]
     p6 = jax.lax.reduce_window(
         outs[3], jnp.int8(-128), jax.lax.max, (1, 1, 1, 1), (1, 2, 2, 1),
         "VALID")
@@ -489,6 +546,9 @@ def _calib_inference_fn(cfg, image_size: int):
             tds[i] = laterals[i] + upsample2x_nearest(tds[i + 1])
         for i in range(4):
             track(("fpn", f"output{i + 2}"), tds[i])
+        # lateral-output scales (int8 top-down pathway)
+        for i in range(4):
+            track(("fpn", f"lat_out{i + 2}"), laterals[i])
         fpn_feats = fpn_forward(params["fpn"], feats, jnp.float32)
         # pyramid-output scales (int8_pyramid): the P-levels themselves
         for i, f in enumerate(fpn_feats[:4]):
@@ -541,6 +601,16 @@ def _calib_inference_fn(cfg, image_size: int):
                 h.astype(jnp.float32), p["w"].astype(jnp.float32), (1, 1),
                 "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
             h = jnp.maximum(h + p["b"], 0.0)
+        # mask tail taps: deconv input (= conv4 relu) and predictor input
+        # (= deconv relu) for the int8 mask-tail stream
+        track(("mask", "deconv"), h)
+        dp = mp["deconv"]
+        hd = jax.lax.conv_transpose(
+            h, dp["w"].astype(jnp.float32), strides=(2, 2), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True) + dp["b"]
+        hd = jnp.maximum(hd, 0.0)
+        track(("mask", "predictor"), hd)
         return m
 
     return jax.jit(fwd)
@@ -606,6 +676,12 @@ def prepare_quantized(params, images_u8, cfg, image_size: int | None = None):
                 jnp.float32),
             "rpn_mult": jnp.stack(
                 [jnp.asarray(s * sw, jnp.float32) for s in out_list]),
+            # int8 top-down pathway: per-level lateral-output scales; the
+            # top-down sums themselves ride in the output convs' input
+            # scales (q['fpn'][f'output{i}']['sa'])
+            "lat_sa": jnp.asarray(
+                [scales[("fpn", f"lat_out{i + 2}")] for i in range(4)],
+                jnp.float32),
         }
     if scope == "convnet":
         return q
@@ -615,4 +691,13 @@ def prepare_quantized(params, images_u8, cfg, image_size: int | None = None):
     q["mask"] = {f"conv{i + 1}": quantize_plain(
         host["mask_head"][f"conv{i + 1}"], scales[("mask", f"conv{i + 1}")])
         for i in range(cfg.mask_num_conv)}
+    # int8 mask tail: the deconv streams int8 from conv4's epilogue and the
+    # predictor consumes the relu'd deconv as int8 — the (R, 28, 28, 256)
+    # interface (the mask head's largest tensor) then never touches HBM in
+    # bf16. Predictor WEIGHTS stay per-channel int8 like every other unit;
+    # its output math is f32 (mask logits).
+    q["mask"]["deconv"] = quantize_deconv(
+        host["mask_head"]["deconv"], scales[("mask", "deconv")])
+    q["mask"]["predictor"] = quantize_plain(
+        host["mask_head"]["predictor"], scales[("mask", "predictor")])
     return q

@@ -76,14 +76,28 @@ def mask_head_forward(params: dict, feats: list, boxes: jnp.ndarray,
                        cfg.mask_pooler_resolution, -1).astype(dtype)
     if qp is not None:
         # streaming: conv_i's epilogue quantizes into conv_{i+1}'s int8
-        # domain, skipping the bf16 round-trip between quantized convs
-        from .quant import _quantize_act, qconv_int8_in
+        # domain, skipping the bf16 round-trip between quantized convs.
+        # With calibrated 'deconv'/'predictor' units (models/quant.py) the
+        # stream stays int8 through the deconv and into the predictor —
+        # the (R, 28, 28, 256) deconv output (the head's largest tensor)
+        # never materializes bf16.
+        from .quant import _quantize_act, qconv_int8_in, qdeconv_int8_in
         n = cfg.mask_num_conv
+        tail = "deconv" in qp and "predictor" in qp
         xq = _quantize_act(x.astype(jnp.float32), qp["conv1"]["sa"])
         for i in range(n):
-            sa_out = qp[f"conv{i + 2}"]["sa"] if i + 1 < n else None
+            if i + 1 < n:
+                sa_out = qp[f"conv{i + 2}"]["sa"]
+            else:
+                sa_out = qp["deconv"]["sa"] if tail else None
             xq = qconv_int8_in(xq, qp[f"conv{i + 1}"], relu=True,
                                sa_out=sa_out)
+        if tail:
+            xq = qdeconv_int8_in(xq, qp["deconv"], relu=True,
+                                 sa_out=qp["predictor"]["sa"])
+            x = qconv_int8_in(xq, qp["predictor"], relu=False)
+            res = 2 * cfg.mask_pooler_resolution
+            return x.reshape(B, D, res, res, cfg.num_classes)
         x = xq                                # bf16 after the last conv
     else:
         for i in range(cfg.mask_num_conv):

@@ -499,8 +499,12 @@ def roi_align_multilevel(feats: list, boxes: jnp.ndarray, out_size: int,
                                min_level=min_level,
                                feat_scales=feat_scales)
     if feat_scales is not None:
+        # fallback paths (adaptive sampling, blocked 800px kernel, XLA
+        # separable) dequantize up front — to bf16, not f32: the copies
+        # are pure HBM ballast (4x the int8 footprint in f32) and every
+        # consumer casts to compute dtype anyway (advisor r3 finding)
         scl = jnp.asarray(feat_scales, jnp.float32)
-        feats = [f.astype(jnp.float32) * scl[i]
+        feats = [(f.astype(jnp.float32) * scl[i]).astype(jnp.bfloat16)
                  for i, f in enumerate(feats)]
     lvl = _level_assignment(boxes, canonical_size, canonical_level,
                             min_level, min_level + n_lev - 1)

@@ -254,15 +254,19 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
           max_iter: int | None = None, batch_size: int | None = None,
           image_size: int = 256, max_instances: int = 16,
           init_checkpoint: str | None = None, log_every: int = 20,
-          mesh=None, seed: int = 7, multiscale: bool = False) -> dict:
+          mesh=None, seed: int = 7, multiscale: bool | None = None) -> dict:
     """Run the training loop; returns the final train state (host).
 
     ``multiscale=True`` reproduces the reference's MIN_SIZE_TRAIN
     multiscale-choice augmentation (detectron2_config_3bands.yaml:31-38):
     each batch is resized to one of ``cfg.min_size_train`` and runs
     through a per-size jitted step (a handful of compile shapes — the
-    TPU-shaped equivalent of detectron2's variable-size loader). The
-    default keeps the single-shape flip + scale-jitter-crop pipeline.
+    TPU-shaped equivalent of detectron2's variable-size loader).
+    ``multiscale=None`` derives it from the model config's INPUT block:
+    on iff ``image_size`` is one of the pinned MIN_SIZE_TRAIN choices and
+    there is more than one — so reference-geometry runs train multiscale
+    by default while explicit small-tile runs (image_size=256) keep the
+    single-shape flip + scale-jitter-crop pipeline.
     """
     import jax
     import jax.numpy as jnp
@@ -301,6 +305,9 @@ def train(cfg: ModelConfig, trn_coco: str, trn_images: str, log_dir: str,
             jax.device_get(state["params"]), loaded)
         logger.info(f"warm start from {init_checkpoint}")
 
+    if multiscale is None:
+        choices = set(cfg.min_size_train)
+        multiscale = len(choices) > 1 and image_size in choices
     sizes = tuple(cfg.min_size_train) if multiscale else (image_size,)
 
     def step_for(sz):

@@ -77,7 +77,7 @@ def bench_one(cfg, image_size: int, batch: int, steps: int, label: str):
         float(m["total"])                         # forces completion
     dt = time.perf_counter() - t0
 
-    steps_per_s = steps / dt
+    steps_per_s = steps * max(scan_k, 1) / dt
     out = {
         "metric": f"train_step_{label}",
         "batch": batch,
@@ -87,8 +87,9 @@ def bench_one(cfg, image_size: int, batch: int, steps: int, label: str):
         "step_ms": round(dt / steps * 1000.0, 1),
     }
     if np.isfinite(flops):
-        out["gflop_per_step"] = round(flops / 1e9, 1)
-        out["mfu"] = round(flops * steps_per_s / _PEAK_FLOPS, 4)
+        per_step = flops / max(scan_k, 1)
+        out["gflop_per_step"] = round(per_step / 1e9, 1)
+        out["mfu"] = round(per_step * steps_per_s / _PEAK_FLOPS, 4)
     print(json.dumps(out), flush=True)
     return out
 
@@ -112,8 +113,11 @@ def main():
         c = (replace(cfg, train_remat=True,
                      train_head_chunks=max(1, batch // 8))
              if batch > 16 else cfg)
+        scan_k = int(os.environ.get("BENCH_TRAIN_SCANK",
+                                    "4" if batch <= 16 else "1"))
         bench_one(c, size, batch, steps,
-                  f"{size}px" + ("_remat" if batch > 16 else ""))
+                  f"{size}px" + ("_remat" if batch > 16 else ""),
+                  scan_k=scan_k)
 
 
 if __name__ == "__main__":

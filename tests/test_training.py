@@ -186,3 +186,100 @@ def test_training_resume(tmp_path):
                    image_size=64, max_instances=4, log_every=1)
     assert int(state2["step"]) == 3
     assert os.path.exists(os.path.join(log_dir, "model_0000002.npz"))
+
+
+@pytest.mark.slow
+def test_multiscale_derived_from_input_block(tmp_path):
+    """The reference trains with MIN_SIZE_TRAIN multiscale choice 640-800
+    (detectron2_config_3bands.yaml:31-38). train(multiscale=None) must
+    derive the multiscale pipeline from the config's INPUT block — on when
+    image_size is one of several pinned choices — and every batch must run
+    at one of those static shapes (per-size jitted steps, no dynamic
+    shapes)."""
+    from dataclasses import replace
+    from roadsurf_tpu.models.config import fast_profile
+    from roadsurf_tpu.pipeline import training as tr
+
+    coco, img_dir = _mini_coco(tmp_path, n_images=8, size=64)
+    # two tiny multiscale choices stand in for the reference's 640-800 set
+    # (both divisible by stride 32 so the FPN top-down shapes line up)
+    cfg = replace(fast_profile(post_nms_topk=16),
+                  min_size_train=(64, 96),
+                  min_size_test=64, max_size_test=64,
+                  roi_batch_per_image=16, rpn_batch_per_image=8,
+                  detections_per_image=4, checkpoint_period=1000,
+                  eval_period=1000)
+
+    from roadsurf_tpu.engine import train as eng_train
+
+    seen = []
+    orig = eng_train.jitted_train_step
+
+    def spy(cfg_, size, mesh=None):
+        seen.append(size)
+        return orig(cfg_, size, mesh)
+
+    eng_train.jitted_train_step = spy
+    try:
+        # image_size in the choice set + >1 choices => multiscale ON
+        tr.train(cfg, coco, img_dir, str(tmp_path / "ms_logs"),
+                 max_iter=8, batch_size=4, image_size=64,
+                 max_instances=4, log_every=10)
+    finally:
+        eng_train.jitted_train_step = orig
+    assert set(seen) <= {64, 96}, seen     # only the pinned static shapes
+    assert len(set(seen)) == 2, seen       # both choices exercised
+
+    # image_size OUTSIDE the choice set => multiscale derived off: one
+    # static shape, the dataset's native tile size
+    seen.clear()
+    eng_train.jitted_train_step = spy
+    try:
+        tr.train(replace(cfg, min_size_train=(64, 96)), coco, img_dir,
+                 str(tmp_path / "ss_logs"), max_iter=1, batch_size=4,
+                 image_size=32, max_instances=4, log_every=10)
+    finally:
+        eng_train.jitted_train_step = orig
+    assert len(set(seen)) == 1, seen
+
+
+@pytest.mark.slow
+def test_mask_roi_cap_matches_exact_when_under_cap():
+    """train_mask_rois caps the padded mask-branch budget. When fewer
+    positives exist than the cap, the selected ROI set and every loss are
+    identical to the exact detectron2 cap (train_mask_rois=0) — the cap
+    only removes padding compute."""
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace
+    from roadsurf_tpu.models.config import fast_profile
+    from roadsurf_tpu.engine.train import compute_losses, init_train_state
+
+    cfg = replace(fast_profile(post_nms_topk=32),
+                  min_size_test=64, max_size_test=64,
+                  roi_batch_per_image=64, rpn_batch_per_image=16)
+    rng = np.random.default_rng(3)
+    B, size, G = 2, 64, 4
+    boxes = np.zeros((B, G, 4), np.float32)
+    masks = np.zeros((B, G, size, size), np.uint8)
+    for b in range(B):
+        x0, y0 = rng.uniform(4, 30, 2)
+        boxes[b, 0] = (x0, y0, x0 + 20, y0 + 16)
+        masks[b, 0, int(y0):int(y0) + 16, int(x0):int(x0) + 20] = 1
+    batch = {
+        "image": rng.integers(0, 255, (B, size, size, 3), np.uint8),
+        "gt_boxes": jnp.asarray(boxes),
+        "gt_classes": jnp.zeros((B, G), jnp.int32),
+        "gt_valid": jnp.asarray(np.arange(G)[None, :] < 1).repeat(B, axis=0),
+        "gt_masks": jnp.asarray(masks),
+    }
+    params = init_train_state(jax.random.PRNGKey(0), cfg)["params"]
+    key = jax.random.PRNGKey(11)
+    exact = compute_losses(params, batch, key,
+                           replace(cfg, train_mask_rois=0), size)
+    capped = compute_losses(params, batch, key,
+                            replace(cfg, train_mask_rois=8), size)
+    for k in exact:
+        np.testing.assert_allclose(np.float64(capped[k]),
+                                   np.float64(exact[k]), rtol=1e-6,
+                                   err_msg=k)
