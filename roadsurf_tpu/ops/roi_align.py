@@ -492,12 +492,17 @@ def roi_align_multilevel(feats: list, boxes: jnp.ndarray, out_size: int,
     if use_pallas and sampling > 0 and feats[0].shape[1] * feats[0].shape[2] \
             <= _MATMUL_PATH_MAX_HW:
         from .roi_align_pallas import roi_align_fused
+        # group images per kernel program: the per-program fixed cost
+        # (~10-30 us grid-step setup) dominates the deployment shapes'
+        # kernel time at batch 512 (scripts/bench_pooler_variants.py)
+        B = boxes.shape[0]
+        gb = next((g for g in (8, 4, 2) if B % g == 0), 1)
         return roi_align_fused(tuple(feats), boxes, out_size,
                                sampling=sampling,
                                canonical_size=canonical_size,
                                canonical_level=canonical_level,
                                min_level=min_level,
-                               feat_scales=feat_scales)
+                               feat_scales=feat_scales, gb=gb)
     if feat_scales is not None:
         # fallback paths (adaptive sampling, blocked 800px kernel, XLA
         # separable) dequantize up front — to bf16, not f32: the copies

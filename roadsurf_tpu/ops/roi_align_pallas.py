@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype,
-                 wb_offs, rbx=None, stage="full", scaled=False):
+                 wb_offs, rbx=None, stage="full", scaled=False, gb=1):
     """rbx: ROI sub-block size for the x-contraction. The block-diagonal
     x-matmul computes (P·RB)×(Wb·RB)×(P·C) flops of which only 1/RB are
     useful (the off-diagonal ROI pairs are zeros); splitting the ROI axis
@@ -65,126 +65,146 @@ def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype,
     def kernel(bits_ref, cols_ref, *refs):
         feat_refs = refs[:-3]
         out_ref, t1t_ref, acc_ref = refs[-3], refs[-2], refs[-1]
-        b = pl.program_id(0)
+        bg = pl.program_id(0)
         j = pl.program_id(1)
         rows = P * RB                              # row order (sub, bin, r)
-        cols = cols_ref[0]                              # (rows, 8) f32
-        x0r = cols[:, 0:1]
-        bwr = cols[:, 1:2]
-        y0r = cols[:, 2:3]
-        bhr = cols[:, 3:4]
-        lvlr = cols[:, 4:5]
-        rowi = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        binf = ((rowi // RBX) % P).astype(jnp.float32)  # bin index per row
 
-        # accumulator scratch, rows (sub, q=x-bin, r'), zeroed per block
-        acc_ref[...] = jnp.zeros((rows, P * C), jnp.float32)
+        # gb > 1: each program handles a GROUP of gb images through one
+        # fori_loop — the per-program fixed cost (grid-step setup, DMA
+        # orchestration) is ~10-30 us on v5e, i.e. 5-15 ms across a
+        # 512-image batch of single-image programs; grouping amortizes it
+        # gb-fold while the instruction count stays flat (g is a dynamic
+        # index, not an unroll).
+        def g_body(g, _):
+            b = bg * gb + g
+            cols = cols_ref[0, pl.ds(g * rows, rows), :]    # (rows, 8) f32
+            x0r = cols[:, 0:1]
+            bwr = cols[:, 1:2]
+            y0r = cols[:, 2:3]
+            bhr = cols[:, 3:4]
+            lvlr = cols[:, 4:5]
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+            binf = ((rowi // RBX) % P).astype(jnp.float32)  # bin per row
 
-        for li, ((H, W), stride) in enumerate(zip(sizes, strides)):
-            Wb = wb_sizes[li]
-            f = feat_refs[li][0]                        # (H, W*C) lane-flat
+            # accumulator scratch, rows (sub, q=x-bin, r'), zeroed per image
+            acc_ref[...] = jnp.zeros((rows, P * C), jnp.float32)
 
-            # y-axis weights, rows (sub, p, r): closed-form ROIAlignV2 taps
-            h = jax.lax.broadcasted_iota(jnp.int32, (rows, H), 1
-                                         ).astype(jnp.float32)
-            wy = jnp.zeros((rows, H), jnp.float32)
-            for s in range(sampling):
-                c = (y0r + (binf + (s + 0.5) / sampling) * bhr) / stride \
-                    - 0.5
-                valid = (c >= -1.0) & (c <= float(H))
-                cc = jnp.clip(c, 0.0, float(H) - 1.0)
-                w = jnp.maximum(0.0, 1.0 - jnp.abs(cc - h))
-                wy = wy + jnp.where(valid, w, 0.0)
-            wy = jnp.where(lvlr == float(li), wy / sampling, 0.0)
-            if scaled:
-                # int8 pyramid levels: fold the row's per-level
-                # dequantization scale (cols slot 5) into the y-weights —
-                # rows of other levels are already zeroed, so the row
-                # scale applies exactly once per pooled value
-                wy = wy * cols[:, 5:6]
-            wy = wy.astype(jnp.bfloat16)
+            for li, ((H, W), stride) in enumerate(zip(sizes, strides)):
+                Wb = wb_sizes[li]
+                f = feat_refs[li][g]                    # (H, W*C) lane-flat
 
-            # block-diagonal x-weight scaffolding per sub-block, cols
-            # indexed (w, r') within the sub
-            srows = P * RBX
-            col_w = jax.lax.broadcasted_iota(
-                jnp.int32, (srows, Wb * RBX), 1) // RBX
-            col_r = jax.lax.broadcasted_iota(
-                jnp.int32, (srows, Wb * RBX), 1) % RBX
-            row_r = jax.lax.broadcasted_iota(
-                jnp.int32, (srows, Wb * RBX), 0) % RBX
-            w_off = col_w.astype(jnp.float32)
-            diag = row_r == col_r
+                # y-axis weights, rows (sub, p, r): closed-form ROIAlignV2
+                # taps
+                h = jax.lax.broadcasted_iota(jnp.int32, (rows, H), 1
+                                             ).astype(jnp.float32)
+                wy = jnp.zeros((rows, H), jnp.float32)
+                for s in range(sampling):
+                    c = (y0r + (binf + (s + 0.5) / sampling) * bhr) / stride \
+                        - 0.5
+                    valid = (c >= -1.0) & (c <= float(H))
+                    cc = jnp.clip(c, 0.0, float(H) - 1.0)
+                    w = jnp.maximum(0.0, 1.0 - jnp.abs(cc - h))
+                    wy = wy + jnp.where(valid, w, 0.0)
+                wy = jnp.where(lvlr == float(li), wy / sampling, 0.0)
+                if scaled:
+                    # int8 pyramid levels: fold the row's per-level
+                    # dequantization scale (cols slot 5) into the y-weights
+                    # — rows of other levels are already zeroed, so the row
+                    # scale applies exactly once per pooled value
+                    wy = wy * cols[:, 5:6]
+                wy = wy.astype(jnp.bfloat16)
 
-            for wbi in range(W // Wb):
-                @pl.when(bits_ref[b, j, wb_offs[li] + wbi] != 0)
-                def _wb_body(f=f, wy=wy, wbi=wbi, Wb=Wb, W=W, stride=stride,
-                             w_off=w_off, diag=diag, srows=srows):
-                    w0 = wbi * Wb
-                    # t1 = wy @ f[:, w-block] -> (P*RB, Wb*C), rows
-                    # (sub, p, r); the w-block is a pure lane slice of the
-                    # (H, W*C) layout
-                    fb = f[:, w0 * C:(w0 + Wb) * C]
-                    t1 = jax.lax.dot_general(
-                        wy, fb.astype(jnp.bfloat16),
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32
-                    ).astype(jnp.bfloat16)
-                    if stage == "y":
-                        acc_ref[:P * RBX, :] = acc_ref[:P * RBX, :] \
-                            + t1[:P * RBX, :P * C].astype(jnp.float32)
-                        return
-                    # relayout rows (s,p,r') x cols (w,c) -> rows (s,w,r')
-                    # x cols (p,c): S*P*Wb static contiguous (RBX, C)
-                    # block copies
-                    for sb in range(S):
-                        for p in range(P):
-                            tp = t1[(sb * P + p) * RBX:
-                                    (sb * P + p + 1) * RBX]
-                            for w in range(Wb):
-                                t1t_ref[(sb * Wb + w) * RBX:
-                                        (sb * Wb + w + 1) * RBX,
-                                        p * C:(p + 1) * C] = \
-                                    tp[:, w * C:(w + 1) * C]
-                    if stage == "yr":
-                        acc_ref[:P * RBX, :] = acc_ref[:P * RBX, :] \
-                            + t1t_ref[:P * RBX, :P * C].astype(jnp.float32)
-                        return
+                # block-diagonal x-weight scaffolding per sub-block, cols
+                # indexed (w, r') within the sub
+                srows = P * RBX
+                col_w = jax.lax.broadcasted_iota(
+                    jnp.int32, (srows, Wb * RBX), 1) // RBX
+                col_r = jax.lax.broadcasted_iota(
+                    jnp.int32, (srows, Wb * RBX), 1) % RBX
+                row_r = jax.lax.broadcasted_iota(
+                    jnp.int32, (srows, Wb * RBX), 0) % RBX
+                w_off = col_w.astype(jnp.float32)
+                diag = row_r == col_r
 
-                    for sb in range(S):
-                        r0 = sb * srows
-                        wxbd = jnp.zeros((srows, Wb * RBX), jnp.float32)
-                        for s in range(sampling):
-                            c = (x0r[r0:r0 + srows]
-                                 + (binf[r0:r0 + srows]
-                                    + (s + 0.5) / sampling)
-                                 * bwr[r0:r0 + srows]) / stride - 0.5
-                            valid = (c >= -1.0) & (c <= float(W))
-                            cc = jnp.clip(c, 0.0, float(W) - 1.0)
-                            w = jnp.maximum(
-                                0.0, 1.0 - jnp.abs(cc - (w_off + w0)))
-                            wxbd = wxbd + jnp.where(valid & diag, w, 0.0)
-                        wxbd = (wxbd / sampling).astype(jnp.bfloat16)
-
-                        part = jax.lax.dot_general(
-                            wxbd,
-                            t1t_ref[sb * Wb * RBX:(sb + 1) * Wb * RBX, :],
+                for wbi in range(W // Wb):
+                    @pl.when(bits_ref[b, j, wb_offs[li] + wbi] != 0)
+                    def _wb_body(f=f, wy=wy, wbi=wbi, Wb=Wb, W=W,
+                                 stride=stride, w_off=w_off, diag=diag,
+                                 srows=srows, x0r=x0r, bwr=bwr, binf=binf):
+                        w0 = wbi * Wb
+                        # t1 = wy @ f[:, w-block] -> (P*RB, Wb*C), rows
+                        # (sub, p, r); the w-block is a pure lane slice of
+                        # the (H, W*C) layout
+                        fb = f[:, w0 * C:(w0 + Wb) * C]
+                        t1 = jax.lax.dot_general(
+                            wy, fb.astype(jnp.bfloat16),
                             dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        acc_ref[r0:r0 + srows, :] = \
-                            acc_ref[r0:r0 + srows, :] + part
+                            preferred_element_type=jnp.float32
+                        ).astype(jnp.bfloat16)
+                        if stage == "y":
+                            acc_ref[:P * RBX, :] = acc_ref[:P * RBX, :] \
+                                + t1[:P * RBX, :P * C].astype(jnp.float32)
+                            return
+                        # relayout rows (s,p,r') x cols (w,c) -> rows
+                        # (s,w,r') x cols (p,c): S*P*Wb static contiguous
+                        # (RBX, C) block copies
+                        for sb in range(S):
+                            for p in range(P):
+                                tp = t1[(sb * P + p) * RBX:
+                                        (sb * P + p + 1) * RBX]
+                                for w in range(Wb):
+                                    t1t_ref[(sb * Wb + w) * RBX:
+                                            (sb * Wb + w + 1) * RBX,
+                                            p * C:(p + 1) * C] = \
+                                        tp[:, w * C:(w + 1) * C]
+                        if stage == "yr":
+                            acc_ref[:P * RBX, :] = acc_ref[:P * RBX, :] \
+                                + t1t_ref[:P * RBX, :P * C].astype(
+                                    jnp.float32)
+                            return
 
-        # acc rows (sub, q=x-bin, r'), cols (p=y-bin, c); out rows
-        # r = sub*RBX + r', flat cols (p, q, c) — static (RBX, C) copies
-        for sb in range(S):
-            accv = acc_ref[sb * P * RBX:(sb + 1) * P * RBX, :].astype(
-                out_dtype)
-            for q in range(P):
-                blk = accv[q * RBX:(q + 1) * RBX]       # (RBX, P*C)
-                for p in range(P):
-                    out_ref[0, sb * RBX:(sb + 1) * RBX,
-                            (p * P + q) * C:(p * P + q + 1) * C] = \
-                        blk[:, p * C:(p + 1) * C]
+                        for sb in range(S):
+                            r0 = sb * srows
+                            wxbd = jnp.zeros((srows, Wb * RBX), jnp.float32)
+                            for s in range(sampling):
+                                c = (x0r[r0:r0 + srows]
+                                     + (binf[r0:r0 + srows]
+                                        + (s + 0.5) / sampling)
+                                     * bwr[r0:r0 + srows]) / stride - 0.5
+                                valid = (c >= -1.0) & (c <= float(W))
+                                cc = jnp.clip(c, 0.0, float(W) - 1.0)
+                                w = jnp.maximum(
+                                    0.0, 1.0 - jnp.abs(cc - (w_off + w0)))
+                                wxbd = wxbd + jnp.where(valid & diag, w, 0.0)
+                            wxbd = (wxbd / sampling).astype(jnp.bfloat16)
+
+                            part = jax.lax.dot_general(
+                                wxbd,
+                                t1t_ref[sb * Wb * RBX:(sb + 1) * Wb * RBX,
+                                        :],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                            acc_ref[r0:r0 + srows, :] = \
+                                acc_ref[r0:r0 + srows, :] + part
+
+            # acc rows (sub, q=x-bin, r'), cols (p=y-bin, c); out rows
+            # r = sub*RBX + r', flat cols (p, q, c) — static (RBX, C)
+            # copies per image g
+            for sb in range(S):
+                accv = acc_ref[sb * P * RBX:(sb + 1) * P * RBX, :].astype(
+                    out_dtype)
+                for q in range(P):
+                    blk = accv[q * RBX:(q + 1) * RBX]   # (RBX, P*C)
+                    for p in range(P):
+                        out_ref[g, sb * RBX:(sb + 1) * RBX,
+                                (p * P + q) * C:(p * P + q + 1) * C] = \
+                            blk[:, p * C:(p + 1) * C]
+            return 0
+
+        if gb == 1:
+            g_body(0, 0)
+        else:
+            jax.lax.fori_loop(0, gb, g_body, 0)
 
     return kernel
 
@@ -525,12 +545,12 @@ def roi_align_fused_blocked(feats, boxes, out_size: int, sampling: int = 0,
 
 @functools.partial(jax.jit, static_argnames=(
     "out_size", "sampling", "canonical_size", "canonical_level",
-    "min_level", "out_dtype", "interpret", "rbx", "stage"))
+    "min_level", "out_dtype", "interpret", "rbx", "stage", "gb"))
 def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
                     canonical_size: int = 224, canonical_level: int = 4,
                     min_level: int = 2, out_dtype=jnp.bfloat16,
                     interpret: bool = False, rbx: int | None = None,
-                    stage: str = "full", feat_scales=None):
+                    stage: str = "full", feat_scales=None, gb: int = 1):
     """Fused Pallas multilevel RoIAlign.
 
     out_dtype defaults to bf16: the consumers (box-head FC / mask convs,
@@ -588,7 +608,17 @@ def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
     # contiguous row range (see _make_kernel's rbx note)
     cols = cols.reshape(B, nj, S, 1, rbx, 8)
     cols = jnp.broadcast_to(cols, (B, nj, S, P, rbx, 8))
-    cols = cols.reshape(B, nj * P * RB, 8)
+    if gb > 1 and B % gb:
+        gb = 1                       # grouping needs gb | B; fall back
+    rows_per_img = P * RB
+    if gb > 1:
+        # (B, nj, rows, 8) -> (B/gb, nj, gb*rows, 8): each program's cols
+        # block holds its whole image group, g-major
+        cols = cols.reshape(B // gb, gb, nj, rows_per_img, 8)
+        cols = jnp.swapaxes(cols, 1, 2)
+        cols = cols.reshape(B // gb, nj * gb * rows_per_img, 8)
+    else:
+        cols = cols.reshape(B, nj * P * RB, 8)
 
     # touch bitmap (B, nj, total w-blocks): does any valid ROI of the
     # block sit on this level AND x-overlap this w-block? (x tap range
@@ -616,14 +646,14 @@ def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
 
     kern = _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes,
                         out_dtype, wb_offs, rbx=rbx, stage=stage,
-                        scaled=feat_scales is not None)
+                        scaled=feat_scales is not None, gb=gb)
 
     rows = P * RB
-    in_specs = [pl.BlockSpec((1, rows, 8), lambda b, j, *_: (b, j, 0),
+    in_specs = [pl.BlockSpec((1, gb * rows, 8), lambda b, j, *_: (b, j, 0),
                              memory_space=pltpu.VMEM)]
     for H, W in sizes:
         in_specs.append(pl.BlockSpec(
-            (1, H, W * C), lambda b, j, *_: (b, 0, 0),
+            (gb, H, W * C), lambda b, j, *_: (b, 0, 0),
             memory_space=pltpu.VMEM))
     # lane-flatten (B, H, W, C) -> (B, H, W*C) outside the kernel: the
     # in-kernel w-block slice then never crosses the sublane/lane boundary
@@ -633,9 +663,9 @@ def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, nj),
+            grid=(B // gb, nj),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, RB, P * P * C),
+            out_specs=pl.BlockSpec((gb, RB, P * P * C),
                                    lambda b, j, *_: (b, j, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -645,7 +675,7 @@ def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
         ),
         out_shape=jax.ShapeDtypeStruct((B, R, P * P * C), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(bits, cols, *feats)
     return out.reshape(B, R, P, P, C)[:, :R_in]

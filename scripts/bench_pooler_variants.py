@@ -29,7 +29,10 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "3"))
-    R, P = 32, 7
+    # BENCH_POOLER=mask benches the mask-pooler shape (R=8 detections,
+    # P=14) instead of the box-pooler default (R=32 proposals, P=7)
+    R, P = (8, 14) if os.environ.get("BENCH_POOLER", "box") == "mask" \
+        else (32, 7)
     sizes = [(64, 64), (32, 32), (16, 16)]
     C = 256
 
