@@ -64,6 +64,9 @@ def main():
         ("full rbx=32", dict(rbx=32)),
         ("full out=bf16", dict(out_dtype=jnp.bfloat16)),
     ]
+    for gb in (2, 4, 8, 16, 32):
+        if B % gb == 0:
+            cases.append((f"full gb={gb}", dict(gb=gb)))
     for rb in (32, 64):
         cases.append((f"blocked rb={rb}", dict(rb=rb)))
 

@@ -1,15 +1,9 @@
-"""Microbench of the RPN proposal-selection stage (top-k / decode / NMS).
+"""Micro-bench of RPN proposal selection (the round-3 profile's top stage).
 
-The fast-profile stage profile shows proposals (top-k + NMS) costing
-~18 ms/batch-512 with zero MXU FLOPs. This script times the sub-steps
-separately on synthetic RPN head outputs (shapes identical to the real
-graph) so the cost is attributable:
-
-  topk        per-level (approx) top-k over anchor scores
-  +decode     + anchor gather, delta decode, clip, degenerate filter
-  +nms        + level-aware sweep NMS + global top-k  (= full stage)
-
-Measurement rules as bench.py (distinct inputs, scalar fetch).
+Times select_proposals and cumulative sub-stages on synthetic RPN head
+outputs at the deployment shapes (batch 512, 256px, 5 levels), with the
+bench.py measurement discipline (distinct inputs per step, scalar fetch).
+The marginal between consecutive rows is that piece's cost.
 
 Run:  python scripts/bench_proposals.py           (real TPU)
       BENCH_BATCH=512 BENCH_STEPS=4 python scripts/bench_proposals.py
@@ -19,6 +13,7 @@ import os
 import sys
 import time
 
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -30,38 +25,49 @@ def main():
     from roadsurf_tpu.models import fast_profile
     from roadsurf_tpu.models.anchors import (all_level_anchors, apply_deltas,
                                              clip_boxes)
-    from roadsurf_tpu.models.rpn import select_proposals
-    from roadsurf_tpu.ops.nms import NEG_INF
+    from roadsurf_tpu.models.rpn import _local_max_gate, select_proposals
+    from roadsurf_tpu.ops.nms import NEG_INF, nms_sweep
 
     cfg = fast_profile(post_nms_topk=int(os.environ.get("BENCH_TOPK", "32")))
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    B = int(os.environ.get("BENCH_BATCH", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "4"))
     S = cfg.min_size_test
     anchors = all_level_anchors(S, cfg.fpn_strides, cfg.anchor_sizes,
                                 cfg.anchor_aspect_ratios, cfg.anchor_offset)
-    sizes = [a.shape[0] for a in anchors]
-    pre = cfg.rpn_pre_nms_topk_test
+    gate_geom = [(cfg.num_anchors, cfg.anchor_aspect_ratios, st, sz)
+                 for st, sz in zip(cfg.fpn_strides, cfg.anchor_sizes)]
+    sizes = [S // st for st in cfg.fpn_strides]
+    ns = [s * s * cfg.num_anchors for s in sizes]
+    print(f"batch {B}, levels {ns}, pre {cfg.rpn_pre_nms_topk_test}, "
+          f"post {cfg.rpn_post_nms_topk_test}")
 
-    # on-device input generation (host uploads of ~80 MB/set crawl over
-    # the ~30 MB/s relay tunnel — see bench_pooler.py)
-    def make_inputs(seed):
-        @jax.jit
-        def _gen(seed):
-            key = jax.random.PRNGKey(seed)
-            ks = jax.random.split(key, 2 * len(sizes))
-            logits = [jax.random.normal(ks[2 * i], (batch, n), jnp.bfloat16)
-                      for i, n in enumerate(sizes)]
-            deltas = [0.1 * jax.random.normal(ks[2 * i + 1], (batch, n, 4),
-                                              jnp.bfloat16)
-                      for i, n in enumerate(sizes)]
-            return logits, deltas
-        out = _gen(seed)
-        jax.block_until_ready(out)
+    rng = np.random.default_rng(0)
+
+    def mk_inputs(seed):
+        r = np.random.default_rng(seed)
+        logits = [jnp.asarray(r.normal(size=(B, n)).astype(np.float32),
+                              jnp.bfloat16) for n in ns]
+        deltas = [jnp.asarray(
+            (r.normal(size=(B, n, 4)) * 0.2).astype(np.float32),
+            jnp.bfloat16) for n in ns]
+        return logits, deltas
+
+    ins = [mk_inputs(s) for s in range(steps + 1)]
+    for lg, dl in ins:
+        jax.block_until_ready((lg, dl))
+
+    pre, post = cfg.rpn_pre_nms_topk_test, cfg.rpn_post_nms_topk_test
+
+    def st_gate(logits, deltas):
+        out = []
+        for l, lg in enumerate(logits):
+            out.append(_local_max_gate(lg, *gate_geom[l], cfg.rpn_nms_thresh))
         return out
 
     def st_topk(logits, deltas):
+        gated = st_gate(logits, deltas)
         out = []
-        for lg in logits:
+        for lg in gated:
             n = lg.shape[1]
             k = min(pre, n)
             if n > 4 * k:
@@ -73,9 +79,9 @@ def main():
         return out
 
     def st_decode(logits, deltas):
-        picked = st_topk(logits, deltas)
+        sel = st_topk(logits, deltas)
         out = []
-        for (sc, idx), dl, an in zip(picked, deltas, anchors):
+        for (sc, idx), dl, an in zip(sel, deltas, anchors):
             an_j = jnp.asarray(an, jnp.float32)
             sel_anchors = an_j[idx]
             sel_deltas = jnp.take_along_axis(dl.astype(jnp.float32),
@@ -84,38 +90,34 @@ def main():
             boxes = clip_boxes(boxes, S, S)
             wh_ok = ((boxes[..., 2] > boxes[..., 0])
                      & (boxes[..., 3] > boxes[..., 1]))
-            out.append((boxes, jnp.where(wh_ok, sc, NEG_INF)))
+            sc = jnp.where(wh_ok, sc, NEG_INF)
+            out.append((boxes, sc))
         return out
 
     def st_full(logits, deltas):
-        return select_proposals(logits, deltas, anchors, S, pre,
-                                cfg.rpn_post_nms_topk_test,
-                                cfg.rpn_nms_thresh, fast_nms=cfg.fast_nms)
+        return select_proposals(logits, deltas, anchors, S, pre, post,
+                                cfg.rpn_nms_thresh, fast_nms=True,
+                                local_max_gate=True, gate_geom=gate_geom)
 
-    stages = [("topk", st_topk), ("+decode", st_decode), ("+nms=FULL", st_full)]
+    def st_nil(logits, deltas):
+        return [lg * 1.0 for lg in logits]
 
-    dev = jax.devices()[0]
-    print(f"device: {dev.platform}, batch={batch}, steps={steps}, "
-          f"pre={pre}/level, post={cfg.rpn_post_nms_topk_test}",
-          file=sys.stderr)
-    inputs = [make_inputs(i) for i in range(steps + 1)]
-
+    stages = [("nil", st_nil), ("gate", st_gate), ("topk", st_topk),
+              ("decode", st_decode), ("full", st_full)]
     prev = 0.0
     for name, fn in stages:
-        def scalar_fn(lg, dl, _fn=fn):
-            out = _fn(lg, dl)
-            return sum(jnp.sum(l.astype(jnp.float32))
-                       for l in jax.tree.leaves(out))
+        def reduced(lg, dl, _fn=fn):
+            leaves = jax.tree_util.tree_leaves(_fn(lg, dl))
+            return sum(x.astype(jnp.float32).ravel()[0] for x in leaves)
 
-        jfn = jax.jit(scalar_fn)
-        float(jfn(*inputs[0]))
+        jfn = jax.jit(reduced)
+        float(jfn(*ins[0]))        # forces compile completion (relay gotcha)
         t0 = time.perf_counter()
-        for lg, dl in inputs[1:]:
-            float(jfn(lg, dl))
-        ms = (time.perf_counter() - t0) / steps * 1000.0
-        print(f"{name:12s} {ms:8.2f} ms/batch  marginal {ms - prev:8.2f} ms",
-              flush=True)
-        prev = ms
+        for s in range(steps):
+            float(jfn(*ins[s + 1]))
+        dt = (time.perf_counter() - t0) / steps * 1000
+        print(f"{name:8s} {dt:8.2f} ms/batch   marginal {dt - prev:+8.2f}")
+        prev = dt
 
 
 if __name__ == "__main__":
