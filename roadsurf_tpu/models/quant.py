@@ -26,6 +26,8 @@ int8 path must stay within the fast-vs-exact tolerance documented there.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,6 +35,20 @@ import numpy as np
 from .resnet import max_pool, resnet_forward
 
 _QMAX = 127.0
+
+# Compute dtype for the quantized convs/matmuls. HBM storage is int8
+# either way; this only picks the MXU mode:
+#   "int8"  int8 x int8 -> int32 accumulation (the nominal 2x-rate mode)
+#   "bf16"  operands cast to bf16 AT the conv (the convert fuses into the
+#           operand read), f32 accumulation
+# Measured on v5e (scripts/bench_conv_dtypes.py): XLA's int8 convs run
+# BELOW the bf16 rate at every backbone shape (25-40 TF/s vs 42-44 at
+# batch 512; 125 vs 201 at batch 64) — the int8 path wins on HBM traffic
+# but loses on MXU rate, so bf16 compute over int8 storage is strictly
+# faster. Numerics: int8 values and their products are exact in
+# bf16/f32; only the f32 (vs int32) accumulation order differs, noise
+# ~2^-24 relative — far below the quantization step itself.
+QCONV_COMPUTE = os.environ.get("RS_QCONV_COMPUTE", "bf16")
 
 
 # ---------------------------------------------------------------------------
@@ -184,12 +200,17 @@ def quantize_backbone(params, act_scales: dict):
 
 
 def _qconv(xq, wq, stride):
+    if QCONV_COMPUTE == "bf16":
+        xq, wq = xq.astype(jnp.bfloat16), wq.astype(jnp.bfloat16)
+        acc = jnp.float32
+    else:
+        acc = jnp.int32
     return jax.lax.conv_general_dilated(
         xq, wq, window_strides=(stride, stride),
         padding=[(wq.shape[0] // 2, wq.shape[0] // 2)] * 2
         if wq.shape[0] > 1 else "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32)
+        preferred_element_type=acc)
 
 
 def _quantize_act(x, sa):
@@ -358,10 +379,15 @@ def quantize_deconv(p, act_scale: float):
 def qdeconv_int8_in(xq, qp, relu=True, sa_out=None):
     """2x stride-2 ConvTranspose on an int8 input in qp's domain, int32
     accumulation, f32 epilogue (same contract as qconv_int8_in)."""
+    if QCONV_COMPUTE == "bf16":
+        xq, wq, acc = (xq.astype(jnp.bfloat16),
+                       qp["wq"].astype(jnp.bfloat16), jnp.float32)
+    else:
+        wq, acc = qp["wq"], jnp.int32
     y = jax.lax.conv_transpose(
-        xq, qp["wq"], strides=(2, 2), padding="VALID",
+        xq, wq, strides=(2, 2), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
-        preferred_element_type=jnp.int32).astype(jnp.float32)
+        preferred_element_type=acc).astype(jnp.float32)
     y = y * qp["mult"] + qp["bias"]
     if relu:
         y = jnp.maximum(y, 0.0)
@@ -374,7 +400,11 @@ def qdeconv_int8_in(xq, qp, relu=True, sa_out=None):
 def qlinear(x, qp, relu=False):
     """int8 matmul with int32 accumulation; f32 epilogue, bf16 out."""
     xq = _quantize_act(x.astype(jnp.float32), qp["sa"])
-    y = jnp.dot(xq, qp["wq"], preferred_element_type=jnp.int32)
+    if QCONV_COMPUTE == "bf16":
+        y = jnp.dot(xq.astype(jnp.bfloat16), qp["wq"].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    else:
+        y = jnp.dot(xq, qp["wq"], preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * qp["mult"] + qp["bias"]
     if relu:
         y = jnp.maximum(y, 0.0)
