@@ -48,8 +48,19 @@ class BaseGeometry:
     def length(self) -> float:
         return 0.0
 
-    # -- boolean ops (areal) -------------------------------------------------
+    # -- boolean ops -----------------------------------------------------------
+    # Areal×areal runs in the C++ core; line×areal is clipped host-side
+    # (the statistical branch clips swissTLM3D road *lines* to the AOI,
+    # reference statistical_analysis/prepare_data.py:79).
     def intersection(self, other: "BaseGeometry") -> "BaseGeometry":
+        if isinstance(self, _LINEAL) and isinstance(other, _AREAL):
+            return _clip_line_to_areal(self, other, keep_inside=True)
+        if isinstance(self, _AREAL) and isinstance(other, _LINEAL):
+            return _clip_line_to_areal(other, self, keep_inside=True)
+        if isinstance(self, Point) and isinstance(other, _AREAL):
+            return self if _within(self, other) else EMPTY
+        if isinstance(other, Point) and isinstance(self, _AREAL):
+            return other if _within(other, self) else EMPTY
         return _from_polys(N.boolean_op(N.OP_INTERSECTION, self._flat(),
                                         other._flat()))
 
@@ -58,6 +69,10 @@ class BaseGeometry:
                                         other._flat()))
 
     def difference(self, other: "BaseGeometry") -> "BaseGeometry":
+        if isinstance(self, _LINEAL) and isinstance(other, _AREAL):
+            return _clip_line_to_areal(self, other, keep_inside=False)
+        if isinstance(self, _AREAL) and isinstance(other, _LINEAL):
+            return self          # lines have zero measure (GEOS semantics)
         return _from_polys(N.boolean_op(N.OP_DIFFERENCE, self._flat(),
                                         other._flat()))
 
@@ -451,6 +466,93 @@ class GeometryCollection(BaseGeometry):
 
 
 EMPTY = MultiPolygon([])
+
+_LINEAL = (LineString, MultiLineString)
+_AREAL = (Polygon, MultiPolygon)
+
+
+# ---------------------------------------------------------------------------
+# line x areal clipping (host-side, vectorized numpy)
+
+def _clip_line_to_areal(line: BaseGeometry, areal: BaseGeometry,
+                        keep_inside: bool = True) -> BaseGeometry:
+    """Clip a (Multi)LineString against a (Multi)Polygon.
+
+    Splits every line segment at its crossings with the polygon-set edges,
+    then classifies each sub-segment by its midpoint (even-odd test in the
+    C++ core) and keeps the inside (intersection) or outside (difference)
+    chain. Consecutive kept sub-segments are merged back into maximal
+    LineStrings. This is the geopandas/GEOS behavior the statistical
+    branch relies on when clipping road lines to the AOI
+    (reference statistical_analysis/prepare_data.py:79).
+    """
+    if line.is_empty:
+        return MultiLineString([])
+    if areal.is_empty:
+        return MultiLineString([]) if keep_inside else line
+
+    flat = areal._flat()
+    # closed rings of the polygon set, as segment arrays
+    polys = areal.geoms if isinstance(areal, MultiPolygon) else [areal]
+    ea, eb = [], []
+    for p in polys:
+        for r in p._rings():
+            if len(r) < 3:
+                continue
+            c = _close_ring(r)
+            ea.append(c[:-1])
+            eb.append(c[1:])
+    if not ea:
+        return MultiLineString([]) if keep_inside else line
+    ea = np.concatenate(ea)          # (E, 2) edge starts
+    eb = np.concatenate(eb)          # (E, 2) edge ends
+    ed = eb - ea
+
+    parts: list[np.ndarray] = []
+    lines = line.geoms if isinstance(line, MultiLineString) else [line]
+    for l in lines:
+        c = l.coords_array
+        if len(c) < 2:
+            continue
+        chain: list[np.ndarray] = []    # vertices of the open part
+        for i in range(len(c) - 1):
+            p, q = c[i], c[i + 1]
+            d = q - p
+            # crossing parameters t along p->q with every polygon edge
+            denom = d[0] * ed[:, 1] - d[1] * ed[:, 0]
+            ap = ea - p
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (ap[:, 0] * ed[:, 1] - ap[:, 1] * ed[:, 0]) / denom
+                u = (ap[:, 0] * d[1] - ap[:, 1] * d[0]) / denom
+            ok = ((denom != 0) & (u >= 0.0) & (u <= 1.0)
+                  & (t > 1e-12) & (t < 1 - 1e-12))
+            ts = np.unique(np.concatenate(
+                [[0.0, 1.0], np.sort(t[ok])])) if np.any(ok) \
+                else np.array([0.0, 1.0])
+            pts = p + np.outer(ts, d)                 # cut points
+            mids = 0.5 * (pts[:-1] + pts[1:])
+            inside = N.points_in_polyset(mids, flat).astype(bool)
+            keep = inside if keep_inside else ~inside
+            for k in range(len(keep)):
+                if keep[k]:
+                    if not chain:
+                        chain = [pts[k], pts[k + 1]]
+                    else:
+                        chain.append(pts[k + 1])
+                elif chain:
+                    parts.append(np.array(chain))
+                    chain = []
+        if chain:
+            parts.append(np.array(chain))
+            chain = []
+
+    # drop degenerate (zero-length) fragments from touching-point cuts
+    parts = [a for a in parts if len(np.unique(a, axis=0)) >= 2]
+    if not parts:
+        return MultiLineString([])
+    if len(parts) == 1:
+        return LineString(parts[0])
+    return MultiLineString([LineString(a) for a in parts])
 
 
 # ---------------------------------------------------------------------------

@@ -392,6 +392,10 @@ def overlay(df1: GeoDataFrame, df2: GeoDataFrame, how: str = "intersection",
         cols1 = [c for c in df1.columns if c != GEOM_COL]
         cols2 = [c for c in df2.columns if c != GEOM_COL]
         collide = set(cols1) & set(cols2)
+        # geopandas keep_geom_type keeps df1's geometry family: clipping
+        # road LINES to the AOI must yield lines, not silently drop them
+        # (reference statistical_analysis/prepare_data.py:79)
+        family = _geom_family_of(g1)
         li, ri, geoms = [], [], []
         for i, g in enumerate(g1):
             if g is None or g.is_empty or idx is None:
@@ -399,10 +403,10 @@ def overlay(df1: GeoDataFrame, df2: GeoDataFrame, how: str = "intersection",
             for j in idx.query(*g.bounds):
                 o = g2[j]
                 inter = g.intersection(o)
-                if keep_geom_type and not isinstance(
-                        inter, (Polygon, MultiPolygon)):
-                    continue
-                if inter.is_empty or (keep_geom_type and inter.area == 0):
+                if keep_geom_type:
+                    inter = _extract_family(inter, family)
+                if inter is None or inter.is_empty or (
+                        keep_geom_type and _measure(inter, family) == 0):
                     continue
                 li.append(i)
                 ri.append(j)
@@ -418,3 +422,62 @@ def overlay(df1: GeoDataFrame, df2: GeoDataFrame, how: str = "intersection",
         return gdf
 
     raise ValueError(f"unsupported overlay how={how!r}")
+
+
+def _geom_family_of(geoms) -> str:
+    """Dominant geometry family of a column: 'areal' | 'line' | 'point'."""
+    for g in geoms:
+        if g is None or g.is_empty:
+            continue
+        t = g.geom_type
+        if t in ("Polygon", "MultiPolygon"):
+            return "areal"
+        if t in ("LineString", "MultiLineString"):
+            return "line"
+        if t == "Point":
+            return "point"
+    return "areal"
+
+
+_FAMILY_TYPES = {
+    "areal": ("Polygon", "MultiPolygon"),
+    "line": ("LineString", "MultiLineString"),
+    "point": ("Point",),
+}
+
+
+def _extract_family(g, family: str):
+    """Keep only the parts of ``g`` in the requested family (descending
+    into GeometryCollection), or None if nothing matches."""
+    if g is None:
+        return None
+    t = g.geom_type
+    if t in _FAMILY_TYPES[family]:
+        return g
+    if t == "GeometryCollection":
+        parts = []
+        for sub in g.geoms:
+            m = _extract_family(sub, family)
+            if m is None or m.is_empty:
+                continue
+            parts.extend(m.geoms if hasattr(m, "geoms")
+                         and m.geom_type.startswith("Multi") else [m])
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        if family == "areal":
+            return core.MultiPolygon(parts)
+        if family == "line":
+            from .core import MultiLineString
+            return MultiLineString(parts)
+        return parts[0]
+    return None
+
+
+def _measure(g, family: str) -> float:
+    if family == "areal":
+        return g.area
+    if family == "line":
+        return g.length
+    return 1.0

@@ -1,9 +1,13 @@
-"""Int8 inference path for the conv stack (backbone / FPN / RPN head).
+"""Quantized (int8-storage) inference path for the conv stack
+(backbone / FPN / RPN head).
 
-v5e's MXU runs int8×int8→int32 at 2× the bf16 rate; the detector's conv
-stack (ResNet50 + FPN + RPN head, ~23 GFLOP/tile of the 33 GFLOP total)
-is MXU-bound, so static int8 quantization is the single largest remaining
-throughput lever after the pooler fusion.
+The detector's conv stack (ResNet50 + FPN + RPN head, ~23 GFLOP/tile of
+the 33 GFLOP total) is the dominant compute AND the dominant HBM
+traffic; int8 *storage* halves the bytes every conv reads/writes versus
+bf16 while the MXU itself computes in bf16 (see QCONV_COMPUTE below —
+measured, XLA's int8 convs run below the bf16 rate on this chip, so
+int8-compute is a pessimization; int8-storage + bf16-compute is the
+winning combination).
 
 Scheme (standard post-training static quantization):
 * weights: per-output-channel symmetric int8 — the FrozenBN scale is
@@ -12,10 +16,12 @@ Scheme (standard post-training static quantization):
   (the |max| over ONE calibration batch of the f32/bf16 model — callers
   should sample that batch across the deployment imagery, e.g. evenly
   strided over the AOI, so border/nodata tiles can't skew the scales);
-* conv executes as int8 with int32 accumulation
-  (``preferred_element_type=int32``); the (sa·sw) rescale + bias + ReLU
-  run fused in the epilogue at f32, output re-quantizes into the next
-  layer's int8 domain (XLA fuses the elementwise chains around the convs).
+* conv operands are stored int8 in HBM and cast to the QCONV_COMPUTE
+  dtype at the conv (the convert fuses into the operand read; bf16 by
+  default, int8×int8→int32 under RS_QCONV_COMPUTE=int8); the (sa·sw)
+  rescale + bias + ReLU run fused in the epilogue at f32, output
+  re-quantizes into the next layer's int8 domain (XLA fuses the
+  elementwise chains around the convs).
 
 Residual adds run in f32 epilogue space (simplest correct choice; the
 adds are bandwidth-trivial next to the convs).
@@ -377,8 +383,10 @@ def quantize_deconv(p, act_scale: float):
 
 
 def qdeconv_int8_in(xq, qp, relu=True, sa_out=None):
-    """2x stride-2 ConvTranspose on an int8 input in qp's domain, int32
-    accumulation, f32 epilogue (same contract as qconv_int8_in)."""
+    """2x stride-2 ConvTranspose on an int8 input in qp's domain;
+    operands cast to QCONV_COMPUTE at the op (bf16/f32-acc by default,
+    int8/int32-acc override), f32 epilogue (same contract as
+    qconv_int8_in)."""
     if QCONV_COMPUTE == "bf16":
         xq, wq, acc = (xq.astype(jnp.bfloat16),
                        qp["wq"].astype(jnp.bfloat16), jnp.float32)
@@ -398,7 +406,9 @@ def qdeconv_int8_in(xq, qp, relu=True, sa_out=None):
 
 
 def qlinear(x, qp, relu=False):
-    """int8 matmul with int32 accumulation; f32 epilogue, bf16 out."""
+    """Matmul on int8-quantized operands in the QCONV_COMPUTE dtype
+    (bf16/f32-acc default, int8/int32-acc override); f32 epilogue,
+    bf16 out."""
     xq = _quantize_act(x.astype(jnp.float32), qp["sa"])
     if QCONV_COMPUTE == "bf16":
         y = jnp.dot(xq.astype(jnp.bfloat16), qp["wq"].astype(jnp.bfloat16),

@@ -491,12 +491,17 @@ def roi_align_multilevel(feats: list, boxes: jnp.ndarray, out_size: int,
     feats = list(feats[:n_lev])
     if use_pallas and sampling > 0 and feats[0].shape[1] * feats[0].shape[2] \
             <= _MATMUL_PATH_MAX_HW:
-        from .roi_align_pallas import roi_align_fused
+        from .roi_align_pallas import pick_gb, roi_align_fused
         # group images per kernel program: the per-program fixed cost
         # (~10-30 us grid-step setup) dominates the deployment shapes'
-        # kernel time at batch 512 (scripts/bench_pooler_variants.py)
+        # kernel time at batch 512 (scripts/bench_pooler_variants.py);
+        # gb is capped by an explicit VMEM estimate (bf16 pyramids with
+        # the P=14 mask pooler don't fit gb=8)
         B = boxes.shape[0]
-        gb = next((g for g in (8, 4, 2) if B % g == 0), 1)
+        gb = pick_gb(B, boxes.shape[1], out_size,
+                     [(f.shape[1], f.shape[2]) for f in feats],
+                     feats[0].shape[-1],
+                     1 if feat_scales is not None else feats[0].dtype.itemsize)
         return roi_align_fused(tuple(feats), boxes, out_size,
                                sampling=sampling,
                                canonical_size=canonical_size,

@@ -221,6 +221,38 @@ def pick_rb(R: int, P: int = 7) -> int:
     return 0
 
 
+def pick_gb(B: int, R: int, P: int, sizes, C: int,
+            feat_itemsize: int, out_itemsize: int = 2,
+            budget_bytes: int = 85 * 1024 * 1024) -> int:
+    """Largest image-group size per kernel program that fits in VMEM.
+
+    Grouping gb images per program amortizes the ~10-30 us grid-step
+    fixed cost, but multiplies the program's resident set: the cols
+    block, every level's feature block, and the out block all scale
+    with gb (and in/out blocks are double-buffered by the pipeline).
+    Choosing gb purely from batch divisibility can exceed
+    vmem_limit_bytes on bf16 pyramids with the P=14 mask pooler —
+    estimate the set explicitly and take the largest (8, 4, 2) that
+    divides B AND fits (advisor r4 finding)."""
+    Rp = R if pick_rb(R, P) else ((R + 31) // 32) * 32
+    RB = pick_rb(Rp, P)
+    if RB == 0:
+        return 1
+    feat_cells = sum(h * w for h, w in sizes) * C
+    wb_max = max(max(d for d in range(1, 17) if w % d == 0)
+                 for _, w in sizes)
+    scratch = wb_max * RB * P * C * 2 + P * RB * P * C * 4
+    for gb in (8, 4, 2):
+        if B % gb:
+            continue
+        per_gb = (2 * P * RB * 8 * 4                  # cols (dbuf)
+                  + 2 * feat_cells * feat_itemsize    # levels (dbuf)
+                  + 2 * RB * P * P * C * out_itemsize)  # out (dbuf)
+        if scratch + gb * per_gb <= budget_bytes:
+            return gb
+    return 1
+
+
 def _adaptive_weights_rows(lo, bins, binf, d, dim: float):
     """Closed-form POOLER_SAMPLING_RATIO=0 weights, in-kernel form.
 

@@ -205,7 +205,12 @@ def run(cfg: dict, opener=None) -> list[str]:
     manifest = Manifest()
 
     tiles = read_file(os.path.join(wd, ds_cfg["aoi_tiles_geojson"]))
-    gt = read_file(os.path.join(wd, ds_cfg["ground_truth_labels_geojson"]))
+    # GT labels are OPTIONAL: the statistical branch's tileset pass
+    # (reference config_stats.yaml:32-44) supplies only aoi_tiles + the
+    # web service — inference-only mode, every tile lands in 'oth' and
+    # the COCO files carry zero annotations
+    gt_path = ds_cfg.get("ground_truth_labels_geojson")
+    gt = read_file(os.path.join(wd, gt_path)) if gt_path else None
     oth_path = ds_cfg.get("other_labels_geojson")
     oth = (read_file(os.path.join(wd, oth_path))
            if oth_path and os.path.exists(os.path.join(wd, oth_path))
@@ -217,13 +222,18 @@ def run(cfg: dict, opener=None) -> list[str]:
         tiles = GeoDataFrame(tiles.iloc[:cap].copy(), crs=tiles.crs)
 
     # --- split ------------------------------------------------------------
-    split = split_tiles(tiles, gt)
+    if gt is not None:
+        split = split_tiles(tiles, gt)
+    else:
+        split = GeoDataFrame(tiles[["id", "geometry"]].copy(),
+                             crs=tiles.crs)
+        split["dataset"] = "oth"
     p = os.path.join(out_dir, "split_aoi_tiles.geojson")
     write_file(split, p, driver="GeoJSON")
     manifest.add(p)
 
     # --- categories -------------------------------------------------------
-    names = sorted(set(gt["CATEGORY"]))
+    names = sorted(set(gt["CATEGORY"])) if gt is not None else []
     categories = [{"id": i + 1, "name": n,
                    "supercategory": gt["SUPERCATEGORY"].iloc[0]
                    if "SUPERCATEGORY" in gt.columns else "road"}
@@ -239,8 +249,13 @@ def run(cfg: dict, opener=None) -> list[str]:
 
     # --- clip labels to tiles (3857) --------------------------------------
     split_3857 = split.to_crs(epsg=3857)
-    gt_3857 = gt.to_crs(epsg=3857)
-    clipped = clip_labels(gt_3857, split_3857[["id", "geometry"]])
+    if gt is not None:
+        gt_3857 = gt.to_crs(epsg=3857)
+        clipped = clip_labels(gt_3857, split_3857[["id", "geometry"]])
+    else:
+        clipped = GeoDataFrame(
+            {"CATEGORY": [], "tile_id": [], "geometry": []},
+            crs="EPSG:3857")
     if oth is not None and len(oth):
         oth_3857 = oth.to_crs(epsg=3857)
         clipped_oth = clip_labels(oth_3857, split_3857[["id", "geometry"]])

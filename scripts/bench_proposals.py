@@ -107,8 +107,11 @@ def main():
     prev = 0.0
     for name, fn in stages:
         def reduced(lg, dl, _fn=fn):
+            # full reduction over EVERY element: a [0]-element fetch lets
+            # XLA legally DCE/narrow the stage's elementwise work down to
+            # the lanes feeding index 0, reading misleadingly low
             leaves = jax.tree_util.tree_leaves(_fn(lg, dl))
-            return sum(x.astype(jnp.float32).ravel()[0] for x in leaves)
+            return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
 
         jfn = jax.jit(reduced)
         float(jfn(*ins[0]))        # forces compile completion (relay gotcha)

@@ -49,18 +49,34 @@ def synth_batch(rng, batch: int, size: int, max_instances: int = 16):
             "gt_valid": valid, "gt_masks": masks}
 
 
-def bench_one(cfg, image_size: int, batch: int, steps: int, label: str):
+def bench_one(cfg, image_size: int, batch: int, steps: int, label: str,
+              scan_k: int = 1):
+    """``steps`` counts host dispatches; each dispatch runs ``scan_k``
+    optimizer steps (lax.scan) so the dispatch-latency floor of the
+    tunneled dev chip is amortized out of the per-step number."""
     import jax
 
-    from roadsurf_tpu.engine.train import init_train_state, make_train_step
+    from roadsurf_tpu.engine.train import (init_train_state,
+                                           make_train_scan_step,
+                                           make_train_step)
 
     dev = jax.devices()[0]
     state = jax.device_put(init_train_state(jax.random.PRNGKey(0), cfg), dev)
-    step = jax.jit(make_train_step(cfg, image_size))
+    if scan_k > 1:
+        step = jax.jit(make_train_scan_step(cfg, image_size, scan_k))
+
+        def make_batch(rng):
+            bs = [synth_batch(rng, batch, image_size) for _ in range(scan_k)]
+            return jax.device_put(
+                {k: np.stack([b[k] for b in bs]) for k in bs[0]}, dev)
+    else:
+        step = jax.jit(make_train_step(cfg, image_size))
+
+        def make_batch(rng):
+            return jax.device_put(synth_batch(rng, batch, image_size), dev)
 
     rng = np.random.default_rng(0)
-    batches = [jax.device_put(synth_batch(rng, batch, image_size), dev)
-               for _ in range(steps + 1)]
+    batches = [make_batch(rng) for _ in range(steps + 1)]
 
     flops = float("nan")
     try:
@@ -82,9 +98,10 @@ def bench_one(cfg, image_size: int, batch: int, steps: int, label: str):
         "metric": f"train_step_{label}",
         "batch": batch,
         "image_size": image_size,
+        "scan_k": scan_k,
         "steps_per_sec": round(steps_per_s, 3),
         "tiles_per_sec": round(steps_per_s * batch, 1),
-        "step_ms": round(dt / steps * 1000.0, 1),
+        "step_ms": round(1000.0 / steps_per_s, 1),
     }
     if np.isfinite(flops):
         per_step = flops / max(scan_k, 1)

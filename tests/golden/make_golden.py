@@ -178,6 +178,31 @@ def main():
     print(f"wrote {path}: " + ", ".join(
         f"{k}{v.shape}" for k, v in out.items()))
 
+    # provenance stamp: records whether the committed goldens were
+    # verified against torchvision (certified) or come from the scalar
+    # oracle alone — re-run this script in a torchvision environment to
+    # upgrade the stamp
+    import datetime
+    import json
+    import platform
+
+    stamp = {
+        "generated": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds"),
+        "python": platform.python_version(),
+        "numpy": np.__version__,
+        "torchvision_verified": torchvision is not None,
+        "torchvision_version": getattr(torchvision, "__version__", None),
+        "cases": {k: list(v.shape) for k, v in out.items()},
+        "recertify": "python tests/golden/make_golden.py  "
+                     "(in an environment with torchvision)",
+    }
+    spath = os.path.join(here, "op_goldens.provenance.json")
+    with open(spath, "w") as f:
+        json.dump(stamp, f, indent=1)
+    print(f"wrote {spath}: torchvision_verified="
+          f"{stamp['torchvision_verified']}")
+
 
 if __name__ == "__main__":
     main()

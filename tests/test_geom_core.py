@@ -173,3 +173,71 @@ def test_mask_holes_attach_to_innermost_exterior():
     m[7:9, 7:9] = 0        # hole in the island
     areas = sorted(round(p.area, 1) for p in mask_to_polygons(m))
     assert areas == [32.0, 96.0]
+
+
+def test_line_areal_intersection_and_difference():
+    """Line x polygon boolean ops keep the LINE family (GEOS semantics;
+    the statistical branch clips road lines to the AOI — reference
+    prepare_data.py:79)."""
+    from roadsurf_tpu.geom.core import (LineString, MultiLineString,
+                                        MultiPolygon, Polygon)
+    sq = Polygon([(0, 0), (10, 0), (10, 10), (0, 10)])
+
+    # crossing line: clipped to the inside chord
+    l = LineString([(-5, 5), (15, 5)])
+    inter = l.intersection(sq)
+    assert inter.geom_type in ("LineString", "MultiLineString")
+    assert inter.length == pytest.approx(10.0)
+    diff = l.difference(sq)
+    assert diff.length == pytest.approx(10.0)     # 5 on each side
+    assert diff.geom_type == "MultiLineString" and len(diff.geoms) == 2
+
+    # symmetric operand order
+    assert sq.intersection(l).length == pytest.approx(10.0)
+    # areal - line: lines have zero measure
+    assert sq.difference(l).area == pytest.approx(sq.area)
+
+    # fully inside / fully outside
+    assert LineString([(1, 1), (9, 1)]).intersection(sq).length == \
+        pytest.approx(8.0)
+    assert LineString([(20, 20), (30, 20)]).intersection(sq).is_empty
+    assert LineString([(20, 20), (30, 20)]).difference(sq).length == \
+        pytest.approx(10.0)
+
+    # polygon with a hole: the chord over the hole is cut out
+    holed = Polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                    holes=[[(4, 4), (6, 4), (6, 6), (4, 6)]])
+    got = LineString([(-5, 5), (15, 5)]).intersection(holed)
+    assert got.length == pytest.approx(8.0)       # 10 minus the 2-wide hole
+    assert got.geom_type == "MultiLineString" and len(got.geoms) == 2
+
+    # MultiPolygon operand + multi-segment polyline
+    mp = MultiPolygon([sq, Polygon([(20, 0), (30, 0), (30, 10), (20, 10)])])
+    zig = LineString([(-5, 5), (15, 5), (15, 8), (35, 8)])
+    got = zig.intersection(mp)
+    assert got.length == pytest.approx(10.0 + 10.0)
+
+    # MultiLineString input
+    ml = MultiLineString([[(-5, 2), (15, 2)], [(-5, 8), (15, 8)]])
+    assert ml.intersection(sq).length == pytest.approx(20.0)
+
+
+def test_overlay_keeps_line_family():
+    """overlay(lines, polys, 'intersection', keep_geom_type=True) keeps
+    df1's geometry family (geopandas semantics) instead of dropping the
+    line results."""
+    from roadsurf_tpu.geom.core import LineString, Polygon
+    from roadsurf_tpu.geom.table import GeoDataFrame, overlay
+    roads = GeoDataFrame({
+        "rid": [1, 2],
+        "geometry": [LineString([(-5, 5), (15, 5)]),
+                     LineString([(50, 50), (60, 50)])]}, crs="EPSG:2056")
+    aoi = GeoDataFrame({
+        "aid": [0],
+        "geometry": [Polygon([(0, 0), (10, 0), (10, 10), (0, 10)])]},
+        crs="EPSG:2056")
+    out = overlay(roads, aoi, how="intersection")
+    assert len(out) == 1 and out["rid"].iloc[0] == 1
+    g = out.geometry.iloc[0]
+    assert g.geom_type in ("LineString", "MultiLineString")
+    assert g.length == pytest.approx(10.0)

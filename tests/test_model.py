@@ -241,6 +241,49 @@ def test_roi_align_pallas_matches_xla():
     np.testing.assert_allclose(got_q, ref_q, atol=2e-2)
 
 
+def test_roi_align_pallas_image_groups_match_gb1():
+    """The gb>1 image-group path (one kernel program pools gb images:
+    dynamic g-indexing of the feat/out blocks, g-major cols layout) is
+    the production default whenever the batch divides — pin it bitwise
+    to the gb=1 output in interpret mode, for the box (P=7) and mask
+    (P=14) pooler shapes."""
+    from roadsurf_tpu.ops.roi_align_pallas import roi_align_fused
+
+    rng = np.random.default_rng(11)
+    B, R, C, S = 4, 8, 8, 64
+    feats = tuple(jnp.asarray(rng.normal(size=(B, S // st, S // st, C)),
+                              jnp.bfloat16) for st in (4, 8, 16))
+    x0 = rng.uniform(0, 50, (B, R))
+    y0 = rng.uniform(0, 50, (B, R))
+    w = rng.uniform(4, 40, (B, R))
+    h = rng.uniform(4, 40, (B, R))
+    boxes = jnp.asarray(np.stack(
+        [x0, y0, np.minimum(x0 + w, S), np.minimum(y0 + h, S)], -1),
+        jnp.float32)
+
+    for P in (7, 14):
+        base = np.asarray(roi_align_fused(feats, boxes, P, interpret=True,
+                                          gb=1))
+        for gb in (2, 4):
+            got = np.asarray(roi_align_fused(feats, boxes, P,
+                                             interpret=True, gb=gb))
+            np.testing.assert_array_equal(got, base), (P, gb)
+
+
+def test_pick_gb_vmem_cap():
+    """gb selection respects the per-program VMEM estimate: bf16
+    pyramids with the P=14 mask pooler at 256px must NOT get gb=8
+    (the ~104 MB resident set exceeds vmem_limit_bytes); the int8
+    deployment pyramid keeps gb=8; non-dividing batches fall to 1."""
+    from roadsurf_tpu.ops.roi_align_pallas import pick_gb
+
+    sizes = [(64, 64), (32, 32), (16, 16)]   # P2..P4 at 256px
+    assert pick_gb(512, 128, 14, sizes, 256, feat_itemsize=2) < 8
+    assert pick_gb(512, 128, 14, sizes, 256, feat_itemsize=1) == 8
+    assert pick_gb(512, 512, 7, sizes, 256, feat_itemsize=1) == 8
+    assert pick_gb(3, 512, 7, sizes, 256, feat_itemsize=1) == 1
+
+
 def test_roi_align_adaptive_sampling_matches_numpy():
     """POOLER_SAMPLING_RATIO=0 (per-ROI adaptive ceil sampling — the
     reference's pinned CUDA-op config, detectron2_config_3bands.yaml:174)

@@ -40,7 +40,13 @@ if not os.path.isdir(REF_CFG):
 
 def _png_opener(url):
     from PIL import Image
-    arr = np.full((256, 256, 3), 128, np.uint8)
+    # honor the service's band request: the stats chain's titiler URL
+    # asks for 4 bands (config_stats.yaml:39, bidx=2&3&4&1 — RGB+NIR),
+    # the detection chain's WMTS serves RGB
+    nbands = max(url.count("bidx="), 3)
+    arr = np.full((256, 256, nbands), 128, np.uint8)
+    if nbands == 4:
+        arr[..., 3] = 180       # NIR differs from RGB (VgNIR-BI non-flat)
     buf = io.BytesIO()
     Image.fromarray(arr).save(buf, format="PNG")
     return buf.getvalue()
@@ -206,10 +212,16 @@ def test_limit_used_tiles_verbatim(ref_ws):
     assert files and os.path.exists(files[0])
 
 
-def test_config_stats_verbatim(ref_ws, tmp_path):
+def test_config_stats_verbatim(tmp_path):
     """config_stats.yaml drives the statistical branch verbatim — including
-    the scalar ``debug_mode: true`` under generate_tilesets.py (:34)."""
-    root, _ = ref_ws
+    the scalar ``debug_mode: true`` under generate_tilesets.py (:34).
+
+    Runs in its OWN workspace (the reference ran the stats and detection
+    chains from separate checkouts: both write outputs/obj_detector, but
+    the stats tiles are 4-band titiler tifs, the detection tiles 3-band
+    WMTS jpegs — sharing a tile cache would serve the wrong bands)."""
+    root = str(tmp_path / "stats_ws")
+    write_data_dir(root)
     os.chdir(root)
     from roadsurf_tpu.pipeline import stats_analysis, stats_prep
 
@@ -267,8 +279,11 @@ def test_config_preprocessing_verbatim(ref_ws, tmp_path):
     # the uploaded keys live under outpath, so mirror them to the block's
     # S3_PREFIX_IN (a path rewrite inside the store, not a schema change)
     t2c = dict(pre["tif2cog.py"], WORKDIR=str(tmp_path / "workdir"))
-    for key in store.list_keys(pre["RS_images_to_S3.py"]["outpath"]):
-        data = store.get(key)
-        store.put(f"{t2c['S3_PREFIX_IN']}/{os.path.basename(key)}", data)
+    mirror = tmp_path / "mirror"
+    mirror.mkdir()
+    for key in list(store.list(pre["RS_images_to_S3.py"]["outpath"])):
+        local = str(mirror / os.path.basename(key))
+        store.download(key, local)
+        store.upload(local, f"{t2c['S3_PREFIX_IN']}/{os.path.basename(key)}")
     res = cog_pipeline.run(t2c, store=store)
-    assert res and any(store.list_keys(t2c["S3_PREFIX_COG"]))
+    assert res and any(store.list(t2c["S3_PREFIX_COG"]))

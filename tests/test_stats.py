@@ -68,8 +68,21 @@ def test_stats_prep_same_class_deoverlap():
     out, in_aoi = determine_road_surfaces_stats(
         synthetic_roads(), synthetic_forests(), roads_parameters_df(),
         synthetic_aoi())
-    # no two output polygons overlap (any class)
+    # NON-vacuous: the 6 in-AOI roads (3 horizontal x 900m, 3 vertical x
+    # 1000m; the 7th has an unknown BELAGSART and is dropped) must all
+    # survive the line->polygon conversion.
+    assert len(out) == 6
+    assert sorted(out["road_len"].tolist()) == [900.0] * 3 + [1000.0] * 3
     geoms = [g for g in out.geometry.values if g is not None]
+    assert len(geoms) == 6 and all(not g.is_empty for g in geoms)
+    # every road keeps positive area after de-overlap + forest exclusion
+    areas = [g.area for g in geoms]
+    assert all(a > 0 for a in areas)
+    # gross buffered area: 2x(900x8) + 900x4 + 3x(1000x4) = 30000 m^2;
+    # crossing/forest removal trims it but can't exceed ~40%
+    total = sum(areas)
+    assert 18000 < total < 30000, total
+    # no two output polygons overlap (any class)
     for i in range(len(geoms)):
         for j in range(i + 1, len(geoms)):
             inter = geoms[i].intersection(geoms[j]).area
