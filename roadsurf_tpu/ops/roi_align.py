@@ -25,6 +25,8 @@ the numpy reference in tests/test_model.py).
 from __future__ import annotations
 
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -498,10 +500,15 @@ def roi_align_multilevel(feats: list, boxes: jnp.ndarray, out_size: int,
         # gb is capped by an explicit VMEM estimate (bf16 pyramids with
         # the P=14 mask pooler don't fit gb=8)
         B = boxes.shape[0]
-        gb = pick_gb(B, boxes.shape[1], out_size,
-                     [(f.shape[1], f.shape[2]) for f in feats],
-                     feats[0].shape[-1],
-                     1 if feat_scales is not None else feats[0].dtype.itemsize)
+        gb_env = os.environ.get("RS_POOLER_GB", "")
+        if gb_env:
+            gb = int(gb_env) if B % max(int(gb_env), 1) == 0 else 1
+        else:
+            gb = pick_gb(B, boxes.shape[1], out_size,
+                         [(f.shape[1], f.shape[2]) for f in feats],
+                         feats[0].shape[-1],
+                         1 if feat_scales is not None
+                         else feats[0].dtype.itemsize)
         return roi_align_fused(tuple(feats), boxes, out_size,
                                sampling=sampling,
                                canonical_size=canonical_size,

@@ -41,7 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype,
-                 wb_offs, rbx=None, stage="full", scaled=False, gb=1):
+                 wb_offs, rbx=None, stage="full", scaled=False, gb=1,
+                 relayout="copy"):
     """rbx: ROI sub-block size for the x-contraction. The block-diagonal
     x-matmul computes (P·RB)×(Wb·RB)×(P·C) flops of which only 1/RB are
     useful (the off-diagonal ROI pairs are zeros); splitting the ROI axis
@@ -145,18 +146,30 @@ def _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes, out_dtype,
                             acc_ref[:P * RBX, :] = acc_ref[:P * RBX, :] \
                                 + t1[:P * RBX, :P * C].astype(jnp.float32)
                             return
-                        # relayout rows (s,p,r') x cols (w,c) -> rows
-                        # (s,w,r') x cols (p,c): S*P*Wb static contiguous
-                        # (RBX, C) block copies
-                        for sb in range(S):
-                            for p in range(P):
-                                tp = t1[(sb * P + p) * RBX:
-                                        (sb * P + p + 1) * RBX]
-                                for w in range(Wb):
-                                    t1t_ref[(sb * Wb + w) * RBX:
-                                            (sb * Wb + w + 1) * RBX,
-                                            p * C:(p + 1) * C] = \
-                                        tp[:, w * C:(w + 1) * C]
+        # relayout rows (s,p,r') x cols (w,c) -> rows
+                        # (s,w,r') x cols (p,c): either S*P*Wb static
+                        # contiguous (RBX, C) block copies (the measured-
+                        # safe default) or one Mosaic value-transpose of
+                        # the (p, w) dims (stage/mode "t": the copy loop
+                        # is instruction-issue-bound at ~1k vector ops
+                        # per w-block body; Mosaic's native shuffle
+                        # lowering can beat it — measured via
+                        # scripts/bench_pooler_variants.py)
+                        if relayout == "t":
+                            t1t_ref[:S * Wb * RBX, :] = (
+                                t1.reshape(S, P, RBX, Wb, C)
+                                .transpose(0, 3, 2, 1, 4)
+                                .reshape(S * Wb * RBX, P * C))
+                        else:
+                            for sb in range(S):
+                                for p in range(P):
+                                    tp = t1[(sb * P + p) * RBX:
+                                            (sb * P + p + 1) * RBX]
+                                    for w in range(Wb):
+                                        t1t_ref[(sb * Wb + w) * RBX:
+                                                (sb * Wb + w + 1) * RBX,
+                                                p * C:(p + 1) * C] = \
+                                            tp[:, w * C:(w + 1) * C]
                         if stage == "yr":
                             acc_ref[:P * RBX, :] = acc_ref[:P * RBX, :] \
                                 + t1t_ref[:P * RBX, :P * C].astype(
@@ -577,12 +590,14 @@ def roi_align_fused_blocked(feats, boxes, out_size: int, sampling: int = 0,
 
 @functools.partial(jax.jit, static_argnames=(
     "out_size", "sampling", "canonical_size", "canonical_level",
-    "min_level", "out_dtype", "interpret", "rbx", "stage", "gb"))
+    "min_level", "out_dtype", "interpret", "rbx", "stage", "gb",
+    "relayout"))
 def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
                     canonical_size: int = 224, canonical_level: int = 4,
                     min_level: int = 2, out_dtype=jnp.bfloat16,
                     interpret: bool = False, rbx: int | None = None,
-                    stage: str = "full", feat_scales=None, gb: int = 1):
+                    stage: str = "full", feat_scales=None, gb: int = 1,
+                    relayout: str = "copy"):
     """Fused Pallas multilevel RoIAlign.
 
     out_dtype defaults to bf16: the consumers (box-head FC / mask convs,
@@ -678,7 +693,8 @@ def roi_align_fused(feats, boxes, out_size: int, sampling: int = 2,
 
     kern = _make_kernel(sizes, strides, P, RB, C, sampling, wb_sizes,
                         out_dtype, wb_offs, rbx=rbx, stage=stage,
-                        scaled=feat_scales is not None, gb=gb)
+                        scaled=feat_scales is not None, gb=gb,
+                        relayout=relayout)
 
     rows = P * RB
     in_specs = [pl.BlockSpec((1, gb * rows, 8), lambda b, j, *_: (b, j, 0),

@@ -36,13 +36,25 @@ def main():
     sizes = [(64, 64), (32, 32), (16, 16)]
     C = 256
 
+    # BENCH_INT8=1: int8 pyramid levels + per-level scales, the
+    # deployment input (halves the kernel's feature DMA)
+    int8 = os.environ.get("BENCH_INT8", "0") == "1"
+    feat_scales = jnp.asarray([0.11, 0.23, 0.47], jnp.float32) \
+        if int8 else None
+
     @partial(jax.jit, static_argnums=(1,))
     def _gen(seed, R):
         key = jax.random.PRNGKey(seed)
         kf = jax.random.split(key, len(sizes) + 2)
-        feats = tuple(
-            jax.random.normal(kf[i], (B, h, w, C), jnp.bfloat16)
-            for i, (h, w) in enumerate(sizes))
+        if int8:
+            feats = tuple(
+                jax.random.randint(kf[i], (B, h, w, C), -127, 128,
+                                   jnp.int32).astype(jnp.int8)
+                for i, (h, w) in enumerate(sizes))
+        else:
+            feats = tuple(
+                jax.random.normal(kf[i], (B, h, w, C), jnp.bfloat16)
+                for i, (h, w) in enumerate(sizes))
         x0 = jax.random.uniform(kf[-2], (B, R, 2), minval=0.0, maxval=200.0)
         wh = jax.random.uniform(kf[-1], (B, R, 2), minval=8.0, maxval=56.0)
         b = jnp.concatenate([x0, jnp.minimum(x0 + wh, 256.0)], -1)
@@ -59,7 +71,10 @@ def main():
     cases = [
         ("stage=y", dict(stage="y")),
         ("stage=yr", dict(stage="yr")),
+        ("stage=yr relay=t", dict(stage="yr", relayout="t")),
         ("full", dict()),
+        ("full relay=t", dict(relayout="t")),
+        ("full relay=t gb=8", dict(relayout="t", gb=8)),
         ("full rbx=8", dict(rbx=8)),
         ("full rbx=32", dict(rbx=32)),
         ("full out=bf16", dict(out_dtype=jnp.bfloat16)),
@@ -78,6 +93,8 @@ def main():
             else roi_align_fused
 
         def _call(f, b, _kw=kw, _base=base):
+            if feat_scales is not None and _base is roi_align_fused:
+                _kw = dict(_kw, feat_scales=feat_scales)
             return _base(f, b, out_size=P, sampling=2, **_kw)
 
         fn = jax.jit(_call)
