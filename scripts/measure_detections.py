@@ -79,7 +79,12 @@ def main():
         from dataclasses import replace
         from roadsurf_tpu.io.geotiff import read_geotiff
         from roadsurf_tpu.models.quant import prepare_quantized
-        cfg = replace(cfg, int8_scope="full")
+        # full scope INCLUDING the int8 feature pyramid — without it the
+        # poolers/RPN head consume bf16 P-levels and the int8 path loses
+        # to bf16 (the round-3/4 "int8 inversion": this flag was missing
+        # here while bench.py set it, so the e2e int8 rows measured a
+        # crippled config)
+        cfg = replace(cfg, int8_scope="full", int8_pyramid=True)
         # calibrate ONCE up front on strided real tiles: calibration is a
         # deployment-setup cost, not a steady-state per-AOI cost
         idx = np.unique(np.linspace(0, len(paths) - 1, 8, dtype=int))
