@@ -77,9 +77,11 @@ def main():
 
     # k-batch on-device scan: lax.map loops the forward k times inside ONE
     # dispatch, amortizing the ~25 ms relay/launch latency (k=1 falls back
-    # to the plain per-batch fn). k=16 amortizes the floor to ~2 ms.
+    # to the plain per-batch fn). k=16 amortizes the floor to ~2 ms at
+    # 256px; the 800px parity graph peaks at k=4 (121.5 -> 157.8 tiles/s;
+    # k=8 collapses to 34.8 — the wider scan graph spills at 800px).
     scan_k = int(os.environ.get("BENCH_SCANK",
-                                "16" if profile != "parity" else "1"))
+                                "16" if profile != "parity" else "4"))
     if scan_k > 1:
         fn = jax.jit(make_inference_scan_fn(cfg, with_masks=True))
         shape = (scan_k, batch, 256, 256, 3)
