@@ -58,10 +58,12 @@ def main():
     dev = jax.devices()[0]
     params = jax.device_put(params, dev)
 
-    if os.environ.get("BENCH_INT8", "1") == "1" and profile != "parity":
+    if os.environ.get("BENCH_INT8", "1") == "1":
         # static-int8 conv/FC stack (models/quant.py): calibrated on one
         # random batch — activation scales only; this measures SPEED (the
-        # quality gate is the seeded real-tile ablation in BASELINE.md)
+        # quality gate is the seeded real-tile ablation in BASELINE.md —
+        # for the parity profile the paired parity-bf16 vs parity-int8
+        # rows; NMS semantics stay exact greedy there either way)
         from dataclasses import replace
         from roadsurf_tpu.models.quant import prepare_quantized
         scope = os.environ.get("BENCH_INT8_SCOPE", "full")

@@ -515,11 +515,23 @@ def roi_align_multilevel(feats: list, boxes: jnp.ndarray, out_size: int,
                                canonical_level=canonical_level,
                                min_level=min_level,
                                feat_scales=feat_scales, gb=gb)
+    if use_pallas and not use_gather and feats[0].shape[1] \
+            * feats[0].shape[2] > _MATMUL_PATH_MAX_HW:
+        # the blocked 800px kernel consumes int8 pyramid levels directly
+        # (feat_scales folded into the accumulated rows) — no upfront
+        # dequantized copy of the large maps
+        from .roi_align_pallas import roi_align_fused_blocked
+        return roi_align_fused_blocked(tuple(feats), boxes, out_size,
+                                       sampling=sampling,
+                                       canonical_size=canonical_size,
+                                       canonical_level=canonical_level,
+                                       min_level=min_level,
+                                       feat_scales=feat_scales)
     if feat_scales is not None:
-        # fallback paths (adaptive sampling, blocked 800px kernel, XLA
-        # separable) dequantize up front — to bf16, not f32: the copies
-        # are pure HBM ballast (4x the int8 footprint in f32) and every
-        # consumer casts to compute dtype anyway (advisor r3 finding)
+        # fallback paths (adaptive sampling, XLA separable, gather oracle)
+        # dequantize up front — to bf16, not f32: the copies are pure HBM
+        # ballast (4x the int8 footprint in f32) and every consumer casts
+        # to compute dtype anyway (advisor r3 finding)
         scl = jnp.asarray(feat_scales, jnp.float32)
         feats = [(f.astype(jnp.float32) * scl[i]).astype(jnp.bfloat16)
                  for i, f in enumerate(feats)]
@@ -528,13 +540,5 @@ def roi_align_multilevel(feats: list, boxes: jnp.ndarray, out_size: int,
     if use_gather:
         return _roi_align_gather(feats, boxes, lvl, out_size, sampling,
                                  min_level, chunk)
-    if use_pallas and feats[0].shape[1] * feats[0].shape[2] \
-            > _MATMUL_PATH_MAX_HW:
-        from .roi_align_pallas import roi_align_fused_blocked
-        return roi_align_fused_blocked(tuple(feats), boxes, out_size,
-                                       sampling=sampling,
-                                       canonical_size=canonical_size,
-                                       canonical_level=canonical_level,
-                                       min_level=min_level)
     return _roi_align_separable(feats, boxes, lvl, out_size, sampling,
                                 min_level)

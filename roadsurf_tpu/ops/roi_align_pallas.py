@@ -436,7 +436,11 @@ def _make_blocked_kernel(sizes, strides, P, RB, C, sampling, wb_sizes,
             jax.lax.fori_loop(0, W // Wb, wb_body, 0)
 
         for sb in range(S):
-            accv = acc_ref[sb * srows:(sb + 1) * srows, :].astype(out_dtype)
+            # cols slot 5 carries the ROI's dequantization scale (1.0 for
+            # bf16 feats; the level's feat_scale for int8 pyramids)
+            accv = (acc_ref[sb * srows:(sb + 1) * srows, :]
+                    * cols[sb * srows:(sb + 1) * srows, 5:6]
+                    ).astype(out_dtype)
             for q in range(P):
                 blk = accv[q * RBX:(q + 1) * RBX]
                 for p in range(P):
@@ -454,7 +458,8 @@ def roi_align_fused_blocked(feats, boxes, out_size: int, sampling: int = 0,
                             canonical_size: int = 224,
                             canonical_level: int = 4, min_level: int = 2,
                             out_dtype=jnp.bfloat16, interpret: bool = False,
-                            rbx: int = 16, rb: int | None = None):
+                            rbx: int = 16, rb: int | None = None,
+                            feat_scales=None):
     """Fused Pallas multilevel RoIAlign for LARGE feature maps.
 
     Same semantics as :func:`roi_align_fused` (plus exact sampling=0
@@ -466,6 +471,12 @@ def roi_align_fused_blocked(feats, boxes, out_size: int, sampling: int = 0,
     and untouched w-blocks cost nothing. Results are scattered back to the
     caller's ROI order. Exactness vs the XLA paths is asserted in
     tests/test_model.py.
+
+    ``feat_scales`` (n_levels,) marks ``feats`` as int8 pyramid levels
+    (cfg.int8_pyramid): levels stay int8 in HBM AND in the kernel's
+    DMA'd w-block slices (halving the pooler's dominant HBM traffic);
+    each ROI pools from exactly one level, so its dequantization scale
+    is folded into the accumulated result row, not the weights.
     """
     B, R_in = boxes.shape[:2]
     P = out_size
@@ -535,13 +546,23 @@ def roi_align_fused_blocked(feats, boxes, out_size: int, sampling: int = 0,
     bw = (boxes[..., 2] - x0) / P
     bh = (boxes[..., 3] - y0) / P
     zero = jnp.zeros_like(x0)
+    # slot 5: the ROI's dequantization scale — its level's feat_scale for
+    # int8 pyramids, 1.0 for bf16 feats. Each ROI pools from exactly one
+    # level, so scaling the accumulated row at the end is exact.
+    if feat_scales is not None:
+        scale = jnp.asarray(feat_scales, jnp.float32)[lvl]
+    else:
+        scale = jnp.ones_like(x0)
     cols = jnp.stack([x0, bw, y0, bh, lvl.astype(jnp.float32),
-                      zero, zero, zero], axis=-1).astype(jnp.float32)
+                      scale, zero, zero], axis=-1).astype(jnp.float32)
     cols = cols.reshape(B, nj, S, 1, rbx, 8)
     cols = jnp.broadcast_to(cols, (B, nj, S, P, rbx, 8))
     cols = cols.reshape(B, nj * P * RB, 8)
 
-    hpads = tuple(-(-h // 8) * 8 for h, _ in sizes)
+    feat_dtype = jnp.int8 if feat_scales is not None else jnp.bfloat16
+    # int8 VMEM tiles are (32, 128): pad DMA'd slice heights accordingly
+    halign = 32 if feat_scales is not None else 8
+    hpads = tuple(-(-h // halign) * halign for h, _ in sizes)
     kern = _make_blocked_kernel(sizes, strides, P, RB, C, sampling,
                                 wb_sizes, out_dtype, rbx, wb_offs, hpads)
 
@@ -555,7 +576,7 @@ def roi_align_fused_blocked(feats, boxes, out_size: int, sampling: int = 0,
     for _ in sizes:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     feats = tuple(
-        jnp.pad(f.reshape(f.shape[0], f.shape[1], -1).astype(jnp.bfloat16),
+        jnp.pad(f.reshape(f.shape[0], f.shape[1], -1).astype(feat_dtype),
                 ((0, 0), (0, hp - f.shape[1]), (0, 0)))
         for f, hp in zip(feats, hpads))
 
@@ -564,7 +585,7 @@ def roi_align_fused_blocked(feats, boxes, out_size: int, sampling: int = 0,
         pltpu.VMEM((rows, P * C), jnp.float32),                  # acc
     ]
     for hp, wb in zip(hpads, wb_sizes):
-        scratch.append(pltpu.VMEM((hp, wb * C), jnp.bfloat16))   # f blocks
+        scratch.append(pltpu.VMEM((hp, wb * C), feat_dtype))     # f blocks
     scratch.append(pltpu.SemaphoreType.DMA(()))
 
     out = pl.pallas_call(

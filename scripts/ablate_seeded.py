@@ -71,7 +71,8 @@ def main():
 
     import pandas as pd
 
-    from roadsurf_tpu.models.config import fast_profile, dense_profile
+    from roadsurf_tpu.models.config import (ModelConfig, dense_profile,
+                                            fast_profile)
     from roadsurf_tpu.pipeline import detections, evaluate, training
     from roadsurf_tpu.utils.checkpoint import latest_checkpoint
     from roadsurf_tpu.utils.logging import logger
@@ -120,6 +121,25 @@ def main():
                                      int8_scope="full"),
         "fast-R32+int8pyr": replace(base, rpn_post_nms_topk_test=32,
                                     int8_scope="full", int8_pyramid=True),
+        # deployment-budget candidates below the current fast-R32 default:
+        # 16 post-NMS proposals / 4 detections halve the box/mask stages —
+        # adopted only if the seeded mean stays within 1 sigma of exact
+        "fast-R16+int8pyr": replace(base, rpn_post_nms_topk_test=16,
+                                    int8_scope="full", int8_pyramid=True),
+        "fast-R32D4+int8pyr": replace(base, rpn_post_nms_topk_test=32,
+                                      detections_per_image=4,
+                                      int8_scope="full", int8_pyramid=True),
+        # the REAL parity geometry (800px resize, adaptive sampling, exact
+        # NMS, R1000/D100 — reference detectron2_config_3bands.yaml:30,222)
+        # paired bf16-vs-int8: the per-seed F1 delta isolates the int8
+        # quality cost on the path that carries parity semantics
+        "parity800": replace(ModelConfig(),
+                             pixel_std=(57.375, 57.12, 58.395),
+                             freeze_at=0),
+        "parity800+int8pyr": replace(ModelConfig(),
+                                     pixel_std=(57.375, 57.12, 58.395),
+                                     freeze_at=0, int8_scope="full",
+                                     int8_pyramid=True),
     }
     if args.variants:
         keep = args.variants.split(",")

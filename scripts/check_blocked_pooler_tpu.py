@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--chan", type=int, default=256)
     ap.add_argument("--size", type=int, default=800)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 pyramid levels + feat_scales (the parity "
+                         "int8_pyramid path)")
+    ap.add_argument("--rb", type=int, default=0, help="ROI block override")
+    ap.add_argument("--rbx", type=int, default=16)
+    ap.add_argument("--samplings", default="0,2")
     args = ap.parse_args()
 
     import jax
@@ -59,9 +65,23 @@ def main():
     boxes = jax.device_put(jnp.asarray(
         np.asarray([one_batch() for _ in range(B)], np.float32)), dev)
 
-    for sampling in (0, 2):
+    scales = None
+    feats_dq = feats
+    if args.int8:
+        scl = np.asarray([0.05, 0.08, 0.11, 0.07], np.float32)
+        feats = tuple(jax.device_put(jnp.asarray(np.clip(
+            np.round(np.asarray(f, np.float32) / s), -127, 127)
+            .astype(np.int8)), dev) for f, s in zip(feats, scl))
+        feats_dq = tuple((f.astype(jnp.float32) * s).astype(jnp.bfloat16)
+                         for f, s in zip(feats, scl))
+        scales = tuple(scl.tolist())
+    rb = args.rb or None
+
+    for sampling in (int(s) for s in args.samplings.split(",")):
         t0 = time.perf_counter()
-        got = roi_align_fused_blocked(feats, boxes, 7, sampling=sampling)
+        got = roi_align_fused_blocked(feats, boxes, 7, sampling=sampling,
+                                      feat_scales=scales, rb=rb,
+                                      rbx=args.rbx)
         got_np = np.asarray(got, np.float32)
         print(f"blocked sampling={sampling}: compile+run "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
@@ -69,7 +89,7 @@ def main():
         lvl = _level_assignment(boxes, 224, 4, 2, 5)
         sep = jax.jit(lambda f, b, l: _roi_align_separable(
             list(f), b, l, 7, sampling, 2))
-        ref_np = np.asarray(sep(feats, boxes, lvl), np.float32)
+        ref_np = np.asarray(sep(feats_dq, boxes, lvl), np.float32)
         err = np.max(np.abs(got_np - ref_np))
         print(f"  max |blocked - separable| = {err:.4f}", flush=True)
         assert err < 0.05, err
@@ -88,10 +108,15 @@ def main():
                   f"({B / dt:.1f} img/s)", flush=True)
 
         timed(lambda b: roi_align_fused_blocked(feats, b, 7,
-                                                sampling=sampling),
-              f"blocked s={sampling}")
-        timed(lambda b: sep(feats, b, _level_assignment(b, 224, 4, 2, 5)),
-              f"separable s={sampling}")
+                                                sampling=sampling,
+                                                feat_scales=scales, rb=rb,
+                                                rbx=args.rbx),
+              f"blocked s={sampling} int8={bool(scales)} "
+              f"rb={rb} rbx={args.rbx}")
+        if not args.int8:
+            timed(lambda b: sep(feats, b,
+                                _level_assignment(b, 224, 4, 2, 5)),
+                  f"separable s={sampling}")
 
     print("OK", flush=True)
 

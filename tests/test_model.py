@@ -665,6 +665,26 @@ def test_roi_align_blocked_pallas_matches_separable():
         sampling=0, interpret=True, out_dtype=jnp.float32))
     np.testing.assert_allclose(got14, ref14, atol=5e-3)
 
+    # int8-pyramid inputs (cfg.int8_pyramid at 800px): levels stay int8 in
+    # the kernel's DMA'd slices; the per-level scale is folded into the
+    # accumulated ROI rows. Must match separable on dequantized feats.
+    scl = np.asarray([0.05, 0.08, 0.11, 0.07], np.float32)
+    feats_i8 = [jnp.asarray(np.clip(np.round(np.asarray(f) / s), -127, 127)
+                            .astype(np.int8)) for f, s in zip(feats, scl)]
+    feats_dq = [(f.astype(jnp.float32) * s).astype(jnp.bfloat16)
+                for f, s in zip(feats_i8, scl)]
+    for sampling in (0, 2):
+        ref_q = np.asarray(_roi_align_separable(
+            feats_dq, boxes, lvl, 7, sampling, 2))
+        got_q = np.asarray(roi_align_fused_blocked(
+            tuple(feats_i8), boxes, 7, sampling=sampling, interpret=True,
+            out_dtype=jnp.float32, feat_scales=tuple(scl.tolist())))
+        # the kernel is MORE exact than this reference: it keeps int8
+        # values exact (lossless in bf16) and scales once in f32, while
+        # the separable ref rounds each dequantized feature to bf16
+        # (2^-8 relative) — tolerance is that rounding bound
+        np.testing.assert_allclose(got_q, ref_q, atol=2e-2)
+
 
 def test_local_max_gate_exact_under_sweep_at_anchor_geometry():
     """With zero deltas (decoded boxes == anchors) the local-max pre-gate
