@@ -353,87 +353,101 @@ def _make_blocked_kernel(sizes, strides, P, RB, C, sampling, wb_sizes,
 
         acc_ref[...] = jnp.zeros((rows, P * C), jnp.float32)
 
+        n_wb_total = wb_offs[-1] + sizes[-1][1] // wb_sizes[-1]
+
         for li, ((H, W), stride) in enumerate(zip(sizes, strides)):
             Wb = wb_sizes[li]
             Hp = hpads[li]
             fscr = fscr_refs[li]
 
-            # iota over the 8-aligned padded height; the weight mask
-            # (d <= H-1) zeroes the pad rows
-            h = jax.lax.broadcasted_iota(jnp.int32, (rows, Hp), 1
-                                         ).astype(jnp.float32)
-            wy = _axis_rows_weights(y0r, bhr, binf, h, stride, H, sampling)
-            wy = jnp.where(lvlr == float(li), wy, 0.0).astype(jnp.bfloat16)
+            # per-(block, level) gate: ROIs are level-sorted, so most
+            # blocks hold ONE level's ROIs — without this gate every
+            # program paid the y-weight series eval + scaffolding for all
+            # levels (the dominant fixed cost at R=1000: the adaptive
+            # series is ~20 VPU ops per (row, h) element)
+            lbit = bits_ref[b, j, n_wb_total + li]
 
-            # block-diag scaffolding (once per level): expansion matrix
-            # E[w, w'*RBX+r'] = (w == w') and the diagonal mask
-            # M[row, col] = (row % RBX == col % RBX) — wx is evaluated on
-            # the COMPACT (srows, Wb) grid and expanded by one tiny MXU
-            # matmul, not series-evaluated on the full block-diag grid
-            E = (jax.lax.broadcasted_iota(jnp.int32, (Wb, Wb * RBX), 1)
-                 // RBX == jax.lax.broadcasted_iota(
-                     jnp.int32, (Wb, Wb * RBX), 0)).astype(jnp.bfloat16)
-            M = (jax.lax.broadcasted_iota(
-                jnp.int32, (srows, Wb * RBX), 0) % RBX
-                == jax.lax.broadcasted_iota(
-                    jnp.int32, (srows, Wb * RBX), 1) % RBX
-            ).astype(jnp.bfloat16)
-            wcomp = jax.lax.broadcasted_iota(
-                jnp.int32, (srows, Wb), 1).astype(jnp.float32)
+            @pl.when(lbit != 0)
+            def _level_body(li=li, Wb=Wb, Hp=Hp, fscr=fscr, H=H, W=W,
+                            stride=stride):
+                # iota over the aligned padded height; the weight mask
+                # (d <= H-1) zeroes the pad rows
+                h = jax.lax.broadcasted_iota(jnp.int32, (rows, Hp), 1
+                                             ).astype(jnp.float32)
+                wy = _axis_rows_weights(y0r, bhr, binf, h, stride, H,
+                                        sampling)
+                wy = jnp.where(lvlr == float(li), wy,
+                               0.0).astype(jnp.bfloat16)
 
-            # dynamic w-block loop: a Python unroll here multiplies the
-            # kernel's instruction count by n_wb (~40 at 800px; >20 min
-            # Mosaic compiles); fori_loop keeps one body per level
-            def wb_body(wbi, _, li=li, Wb=Wb, fscr=fscr, wy=wy, E=E, M=M,
-                        wcomp=wcomp, H=H, W=W, stride=stride):
-                w0 = wbi * Wb
-                bit = bits_ref[b, j, wb_offs[li] + wbi]
+                # block-diag scaffolding (once per level): expansion matrix
+                # E[w, w'*RBX+r'] = (w == w') and the diagonal mask
+                # M[row, col] = (row % RBX == col % RBX) — wx is evaluated on
+                # the COMPACT (srows, Wb) grid and expanded by one tiny MXU
+                # matmul, not series-evaluated on the full block-diag grid
+                E = (jax.lax.broadcasted_iota(jnp.int32, (Wb, Wb * RBX), 1)
+                     // RBX == jax.lax.broadcasted_iota(
+                         jnp.int32, (Wb, Wb * RBX), 0)).astype(jnp.bfloat16)
+                M = (jax.lax.broadcasted_iota(
+                    jnp.int32, (srows, Wb * RBX), 0) % RBX
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (srows, Wb * RBX), 1) % RBX
+                ).astype(jnp.bfloat16)
+                wcomp = jax.lax.broadcasted_iota(
+                    jnp.int32, (srows, Wb), 1).astype(jnp.float32)
 
-                @pl.when(bit != 0)
-                def _do():
-                    dma = pltpu.make_async_copy(
-                        feat_refs[li].at[b, :, pl.ds(w0 * C, Wb * C)],
-                        fscr, sem)
-                    dma.start()
-                    dma.wait()
-                    t1 = jax.lax.dot_general(
-                        wy, fscr[...].astype(jnp.bfloat16),
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32
-                    ).astype(jnp.bfloat16)
-                    for sb in range(S):
-                        for p in range(P):
-                            tp = t1[(sb * P + p) * RBX:
-                                    (sb * P + p + 1) * RBX]
-                            for w in range(Wb):
-                                t1t_ref[(sb * Wb + w) * RBX:
-                                        (sb * Wb + w + 1) * RBX,
-                                        p * C:(p + 1) * C] = \
-                                    tp[:, w * C:(w + 1) * C]
-                    for sb in range(S):
-                        r0 = sb * srows
-                        wxc = _axis_rows_weights(
-                            x0r[r0:r0 + srows], bwr[r0:r0 + srows],
-                            binf[r0:r0 + srows],
-                            wcomp + w0.astype(jnp.float32),
-                            stride, W, sampling)
-                        wxc = jnp.where(
-                            lvlr[r0:r0 + srows] == float(li), wxc, 0.0)
-                        wxbd = jax.lax.dot_general(
-                            wxc.astype(jnp.bfloat16), E,
+                # dynamic w-block loop: a Python unroll here multiplies the
+                # kernel's instruction count by n_wb (~40 at 800px; >20 min
+                # Mosaic compiles); fori_loop keeps one body per level
+                def wb_body(wbi, _, li=li, Wb=Wb, fscr=fscr, wy=wy, E=E, M=M,
+                            wcomp=wcomp, H=H, W=W, stride=stride):
+                    w0 = wbi * Wb
+                    bit = bits_ref[b, j, wb_offs[li] + wbi]
+
+                    @pl.when(bit != 0)
+                    def _do():
+                        dma = pltpu.make_async_copy(
+                            feat_refs[li].at[b, :, pl.ds(w0 * C, Wb * C)],
+                            fscr, sem)
+                        dma.start()
+                        dma.wait()
+                        t1 = jax.lax.dot_general(
+                            wy, fscr[...].astype(jnp.bfloat16),
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32
-                        ).astype(jnp.bfloat16) * M
-                        part = jax.lax.dot_general(
-                            wxbd,
-                            t1t_ref[sb * Wb * RBX:(sb + 1) * Wb * RBX, :],
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        acc_ref[r0:r0 + srows, :] = \
-                            acc_ref[r0:r0 + srows, :] + part
-                return 0
+                        ).astype(jnp.bfloat16)
+                        for sb in range(S):
+                            for p in range(P):
+                                tp = t1[(sb * P + p) * RBX:
+                                        (sb * P + p + 1) * RBX]
+                                for w in range(Wb):
+                                    t1t_ref[(sb * Wb + w) * RBX:
+                                            (sb * Wb + w + 1) * RBX,
+                                            p * C:(p + 1) * C] = \
+                                        tp[:, w * C:(w + 1) * C]
+                        for sb in range(S):
+                            r0 = sb * srows
+                            wxc = _axis_rows_weights(
+                                x0r[r0:r0 + srows], bwr[r0:r0 + srows],
+                                binf[r0:r0 + srows],
+                                wcomp + w0.astype(jnp.float32),
+                                stride, W, sampling)
+                            wxc = jnp.where(
+                                lvlr[r0:r0 + srows] == float(li), wxc, 0.0)
+                            wxbd = jax.lax.dot_general(
+                                wxc.astype(jnp.bfloat16), E,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16) * M
+                            part = jax.lax.dot_general(
+                                wxbd,
+                                t1t_ref[sb * Wb * RBX:(sb + 1) * Wb * RBX, :],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                            acc_ref[r0:r0 + srows, :] = \
+                                acc_ref[r0:r0 + srows, :] + part
+                    return 0
 
-            jax.lax.fori_loop(0, W // Wb, wb_body, 0)
+                jax.lax.fori_loop(0, W // Wb, wb_body, 0)
 
         for sb in range(S):
             # cols slot 5 carries the ROI's dequantization scale (1.0 for
@@ -539,7 +553,15 @@ def roi_align_fused_blocked(feats, boxes, out_size: int, sampling: int = 0,
         [jnp.ones((B, R_in), bool), jnp.zeros((B, R - R_in), bool)],
         axis=1)
     touch = touch & valid_roi[..., None]
-    bits = touch.reshape(B, nj, RB, -1).any(axis=2).astype(jnp.int32)
+    bits = touch.reshape(B, nj, RB, -1).any(axis=2)
+    # per-(block, level) flags appended after the w-block bits: the kernel
+    # gates each level's whole body (weight series + scaffolding + w-loop)
+    # on them — level-sorted blocks hold one level's ROIs, so ~3/4 of the
+    # per-program fixed cost vanishes
+    lbits = jnp.stack(
+        [bits[..., o:o + n].any(axis=-1)
+         for o, n in zip(wb_offs, n_wb)], axis=-1)
+    bits = jnp.concatenate([bits, lbits], axis=-1).astype(jnp.int32)
 
     x0 = boxes[..., 0]
     y0 = boxes[..., 1]

@@ -82,6 +82,53 @@ def roi_align_scalar(feat: np.ndarray, boxes: np.ndarray, out_size: int,
     return out.astype(np.float32)
 
 
+# --- second independent oracle: torch grid_sample ---------------------------
+
+def roi_align_via_grid_sample(feat: np.ndarray, boxes: np.ndarray,
+                              out_size: int, sampling_ratio: int
+                              ) -> np.ndarray:
+    """ROIAlignV2 via ``torch.nn.functional.grid_sample`` (torch's CPU C++
+    bilinear kernel — torchvision itself is built on the same sampling
+    math). The torchvision border rule (zero outside [-1, size], clamp
+    into [0, size-1], which makes the border band interpolate flat) is
+    applied to the sample *coordinates* in numpy; the interpolation and
+    averaging — the error-prone math these goldens exist to pin — run in
+    torch's native kernel, which shares no code with this repo or with
+    ``roi_align_scalar`` above. float64 end to end."""
+    import torch
+    import torch.nn.functional as F
+
+    H, W, C = feat.shape
+    t = torch.from_numpy(
+        np.ascontiguousarray(feat.astype(np.float64).transpose(2, 0, 1))
+    )[None]
+    P = out_size
+    out = np.zeros((len(boxes), P, P, C), np.float64)
+    for r, box in enumerate(boxes.astype(np.float64)):
+        x0, y0, x1, y1 = box - 0.5  # aligned=True half-pixel offset
+        bw = (x1 - x0) / P
+        bh = (y1 - y0) / P
+        gw = sampling_ratio if sampling_ratio > 0 \
+            else max(int(math.ceil((x1 - x0) / P)), 1)
+        gh = sampling_ratio if sampling_ratio > 0 \
+            else max(int(math.ceil((y1 - y0) / P)), 1)
+        ys = (y0 + np.arange(P)[:, None] * bh
+              + (np.arange(gh)[None, :] + 0.5) * bh / gh).reshape(-1)
+        xs = (x0 + np.arange(P)[:, None] * bw
+              + (np.arange(gw)[None, :] + 0.5) * bw / gw).reshape(-1)
+        mask = ((ys[:, None] >= -1.0) & (ys[:, None] <= H)
+                & (xs[None, :] >= -1.0) & (xs[None, :] <= W))
+        gy = 2.0 * np.clip(ys, 0.0, H - 1.0) / (H - 1) - 1.0
+        gx = 2.0 * np.clip(xs, 0.0, W - 1.0) / (W - 1) - 1.0
+        grid = torch.from_numpy(np.stack(
+            np.broadcast_arrays(gx[None, :], gy[:, None]), axis=-1)[None])
+        vals = F.grid_sample(t, grid, mode="bilinear",
+                             align_corners=True)[0].numpy()
+        vals = (vals * mask[None]).reshape(C, P, gh, P, gw)
+        out[r] = vals.mean(axis=(2, 4)).transpose(1, 2, 0)
+    return out
+
+
 # --- scalar greedy NMS ------------------------------------------------------
 
 def nms_scalar(boxes: np.ndarray, scores: np.ndarray,
@@ -162,6 +209,13 @@ def main():
                 aligned=True).numpy().transpose(0, 2, 3, 1)
             np.testing.assert_allclose(gold, tv, atol=1e-5)
             print(f"{name}: scalar oracle == torchvision")
+        gs = roi_align_via_grid_sample(feat, boxes, P, sr)
+        # atol matches the torchvision check: the scalar oracle's box/bin
+        # arithmetic runs at float32 (as torchvision's f32 kernel does),
+        # the grid_sample oracle at float64 — coordinate rounding at the
+        # ~20 px scale is ~2e-6, verified as the sole source of residual
+        np.testing.assert_allclose(gold, gs, atol=1e-5)
+        print(f"{name}: scalar oracle == torch grid_sample (C++ kernel)")
         out[name] = gold
 
     b, s, t = case_nms()
@@ -193,6 +247,12 @@ def main():
         "numpy": np.__version__,
         "torchvision_verified": torchvision is not None,
         "torchvision_version": getattr(torchvision, "__version__", None),
+        # the RoIAlign goldens are ALWAYS cross-checked against torch's
+        # native grid_sample bilinear kernel (roi_align_via_grid_sample)
+        # before being written — an independent C++ implementation of the
+        # sampling math, available in this environment
+        "torch_grid_sample_verified": True,
+        "torch_version": __import__("torch").__version__,
         "cases": {k: list(v.shape) for k, v in out.items()},
         "recertify": "python tests/golden/make_golden.py  "
                      "(in an environment with torchvision)",
