@@ -759,3 +759,32 @@ def test_local_max_gate_directions_and_ties():
     assert g[0, 1, 1, 1] == 3.0            # tie: lowest index survives
     assert g[0, 1, 2, 1] <= NEG_INF / 2
     assert g[0, 1, 3, 1] <= NEG_INF / 2
+
+
+def test_preprocess_matmul_resize_matches_einsum_and_jax_image():
+    """The 256->800-style separable resize in preprocess is spelled as
+    explicit (axis, batch*rest) matmuls (the NHWC einsum with C=3 in the
+    lane dim ran ~6x slower on v5e). Pin the formulation: equal to the
+    einsum form up to f32 reassociation (<=1e-4 on 0..255-scale pixels)
+    and within the documented tolerance of jax.image.resize's bilinear."""
+    from roadsurf_tpu.models import ModelConfig
+    from roadsurf_tpu.models.mask_rcnn import _bilinear_weights, preprocess
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (2, 32, 32, 3), np.uint8)
+    cfg = ModelConfig()
+    S = 100
+    got = np.asarray(preprocess(jnp.asarray(imgs), cfg, S), np.float32)
+
+    w_mat = jnp.asarray(_bilinear_weights(32, S))
+    x = jnp.asarray(imgs).astype(jnp.float32)
+    ein = jnp.einsum("xw,bywc->byxc", w_mat,
+                     jnp.einsum("yh,bhwc->bywc", w_mat, x))
+    mean = np.asarray(cfg.pixel_mean, np.float32)
+    std = np.asarray(cfg.pixel_std, np.float32)
+    ein = (np.asarray(ein, np.float32) - mean) / std
+    np.testing.assert_allclose(got, ein, atol=1e-4)
+
+    ji = jax.image.resize(x, (2, S, S, 3), "bilinear")
+    ji = (np.asarray(ji, np.float32) - mean) / std
+    assert np.max(np.abs(got - ji)) <= 2e-3   # f32 vs resize-kernel rounding
